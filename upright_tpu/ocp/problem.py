@@ -1,0 +1,454 @@
+"""Assembly of the upright OCP: config -> OCP functions + parameter pytrees.
+
+TPU-native replacement of the reference's ControllerInterface constructor
+(upright_control/src/controller_interface.cpp:103-393) and the Python settings
+translation (upright_control/src/upright_control/wrappers.py:78-399).  The
+whole problem — dynamics, costs, balance constraints, limits, EE box,
+obstacles — is assembled into pure stage functions at build time; per-solve
+data (stage times, targets, inertial parameters, obstacle states) live in a
+parameter pytree so one compiled solver serves every solve and batches over
+scenarios.
+
+State / input layout (reference dimensions.h:10-46):
+    x = [q (nq), v (nq), a (nq), obs_1 (9), ..., obs_o (9)]
+    u = [jerk (nq), forces (nf * nc)]
+Dynamic-obstacle states are 9-vectors [r, v, a] with constant-acceleration
+dynamics (system_dynamics.h:29-39).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import upright_tpu.config as cfg_mod
+from upright_tpu.core import balance as bal
+from upright_tpu.core.balance import BalanceModel, EEState
+from upright_tpu.core.math import orientation_error
+from upright_tpu.kinematics.robot import RobotModel, build_robot_model
+from upright_tpu.ocp.reference import TargetTrajectory
+from upright_tpu.solver.ocp import OCP
+
+
+@dataclasses.dataclass
+class UprightDims:
+    """Problem dimensions (reference dimensions.h)."""
+
+    robot_q: int
+    robot_x: int
+    robot_u: int
+    num_objects: int = 0
+    num_contacts: int = 0
+    nf: int = 1  # force dim per contact: 1 frictionless, 3 frictional
+    num_obstacles: int = 0  # dynamic obstacles, 9 states each
+
+    @property
+    def f(self):
+        return self.nf * self.num_contacts
+
+    @property
+    def x(self):
+        return self.robot_x + 9 * self.num_obstacles
+
+    @property
+    def u(self):
+        return self.robot_u + self.f
+
+
+@dataclasses.dataclass
+class CollisionSphere:
+    """A collision sphere attached to a named chain frame (replaces the
+    reference's HPP-FCL geometry pairs, controller_interface.cpp:450-481)."""
+
+    link: str
+    offset: np.ndarray
+    radius: float
+
+
+@dataclasses.dataclass
+class UprightProblem:
+    """Everything needed to run the MPC: the OCP + builders for its params."""
+
+    ocp: OCP
+    dims: UprightDims
+    robot: RobotModel
+    balance_model: BalanceModel
+    dt: float
+    x0: jnp.ndarray
+    xd: jnp.ndarray  # desired joint-space state for the quadratic cost
+    target: TargetTrajectory
+    gravity: jnp.ndarray
+    config: dict
+
+    def stage_params(self, t0, target: Optional[TargetTrajectory] = None,
+                     balance_params=None):
+        """Per-solve parameter pytree for solver.solve.
+
+        t0: current time (stage k is at t0 + k*dt).
+        target: overrides the stored target trajectory.
+        balance_params: (n_obj, 10) overrides object inertial parameters
+        (the robust-scenario axis).
+        """
+        target = self.target if target is None else target
+        bp = self.balance_model.params if balance_params is None else balance_params
+        N = self.ocp.N
+        ts = t0 + self.dt * jnp.arange(N)
+        n_wp = target.times.shape[0]
+        stage = {
+            "t": ts,
+            "target_times": jnp.broadcast_to(target.times, (N, n_wp)),
+            "target_poses": jnp.broadcast_to(target.poses, (N, n_wp, 8)),
+            "obj_params": jnp.broadcast_to(bp, (N,) + bp.shape),
+        }
+        final = {
+            "t": t0 + self.dt * N,
+            "target_times": target.times,
+            "target_poses": target.poses,
+            "obj_params": bp,
+        }
+        return {"stage": stage, "final": final}
+
+
+def _triple_integrator_step(nq, dt):
+    """Exact discretization of the jerk-input triple integrator
+    (system_dynamics.h:15-22; exact form as in trajectory.py:7-28)."""
+
+    def step(q, v, a, j):
+        q1 = q + dt * v + 0.5 * dt**2 * a + dt**3 / 6.0 * j
+        v1 = v + dt * a + 0.5 * dt**2 * j
+        a1 = a + dt * j
+        return q1, v1, a1
+
+    return step
+
+
+def _obstacle_step(dt):
+    """Constant-acceleration 9-state point (system_dynamics.h:29-39), exact."""
+
+    def step(s):
+        r, v, a = s[0:3], s[3:6], s[6:9]
+        return jnp.concatenate([r + dt * v + 0.5 * dt**2 * a, v + dt * a, a])
+
+    return step
+
+
+def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
+    """Build the full OCP from a merged config dict (see configs/)."""
+    ctrl = config["controller"]
+    robot_conf = ctrl["robot"]
+    robot = build_robot_model(robot_conf)
+    nq = robot.nq
+
+    # -- balancing model ------------------------------------------------
+    balancing = ctrl.get("balancing", {"enabled": False})
+    if balancing.get("enabled", False):
+        parse_conf = dict(ctrl)
+        model, names, objects, contacts = cfg_mod.parse_control_objects(parse_conf)
+        frictionless = bool(balancing.get("frictionless", True))
+        nf = 1 if frictionless else 3
+        nc = model.num_contacts
+        n_obj = model.num_objects
+    else:
+        model = BalanceModel.empty()
+        names, objects, contacts = [], {}, []
+        frictionless, nf, nc, n_obj = True, 1, 0, 0
+
+    num_obstacles = 0
+    obstacles_conf = ctrl.get("obstacles", {"enabled": False})
+    dyn_obs = obstacles_conf.get("dynamic_obstacles", []) if obstacles_conf.get("enabled") else []
+    num_obstacles = len(dyn_obs)
+
+    dims = UprightDims(
+        robot_q=nq, robot_x=3 * nq, robot_u=nq,
+        num_objects=n_obj, num_contacts=nc, nf=nf,
+        num_obstacles=num_obstacles,
+    )
+
+    # -- horizon / transcription ---------------------------------------
+    sqp_conf = ctrl.get("sqp", {})
+    dt = float(sqp_conf.get("dt", 0.1))
+    horizon = float(ctrl.get("mpc", {}).get("time_horizon", 2.0))
+    if N is None:
+        N = int(round(horizon / dt))
+
+    robot_step = _triple_integrator_step(nq, dt)
+    obs_step = _obstacle_step(dt)
+
+    def dynamics(x, u, p):
+        q, v, a = x[:nq], x[nq : 2 * nq], x[2 * nq : 3 * nq]
+        j = u[:nq]
+        q1, v1, a1 = robot_step(q, v, a, j)
+        parts = [q1, v1, a1]
+        for i in range(num_obstacles):
+            s = x[3 * nq + 9 * i : 3 * nq + 9 * (i + 1)]
+            parts.append(obs_step(s))
+        return jnp.concatenate(parts)
+
+    # -- weights (reference wrappers.py:199-237) ------------------------
+    W_input = jnp.asarray(cfg_mod.parse_diag_matrix_dict(ctrl["weights"]["input"]))
+    W_state_robot = jnp.asarray(cfg_mod.parse_diag_matrix_dict(ctrl["weights"]["state"]))
+    W_ee = jnp.asarray(cfg_mod.parse_diag_matrix_dict(ctrl["weights"]["end_effector"]))
+    force_weight = float(balancing.get("force_weight", 1e-3))
+
+    # desired joint state: the initial state (velocity/acceleration weights
+    # pull toward rest; q block is zero-weighted in the reference configs)
+    x0_robot = jnp.asarray(cfg_mod.parse_array(robot_conf["x0"]))
+    xd_robot = x0_robot
+
+    # input weight over [jerk, forces]
+    W_u = jnp.zeros((dims.u, dims.u))
+    W_u = W_u.at[:nq, :nq].set(W_input)
+    if dims.f > 0:
+        W_u = W_u.at[nq:, nq:].set(force_weight * jnp.eye(dims.f))
+
+    gravity = jnp.asarray(cfg_mod.parse_array(config.get("gravity", [0, 0, -9.81])))
+
+    # -- limits (reference wrappers.py; BoundConstraint in
+    #    controller_interface.cpp:157-169, 333-357) ----------------------
+    limits = ctrl.get("limits", {})
+    x_lb_robot = cfg_mod.parse_array(limits["state"]["lower"]) if "state" in limits else None
+    x_ub_robot = cfg_mod.parse_array(limits["state"]["upper"]) if "state" in limits else None
+    u_lb_robot = cfg_mod.parse_array(limits["input"]["lower"]) if "input" in limits else None
+    u_ub_robot = cfg_mod.parse_array(limits["input"]["upper"]) if "input" in limits else None
+
+    FORCE_BOUND = 1e2  # reference controller_interface.cpp:337-357
+    if dims.f > 0:
+        f_lb = np.zeros(dims.f) if frictionless else -FORCE_BOUND * np.ones(dims.f)
+        f_ub = FORCE_BOUND * np.ones(dims.f)
+    else:
+        f_lb = np.zeros(0)
+        f_ub = np.zeros(0)
+
+    u_lb = jnp.asarray(np.concatenate([u_lb_robot, f_lb])) if u_lb_robot is not None else None
+    u_ub = jnp.asarray(np.concatenate([u_ub_robot, f_ub])) if u_ub_robot is not None else None
+    x_lb = jnp.asarray(x_lb_robot) if x_lb_robot is not None else None
+    x_ub = jnp.asarray(x_ub_robot) if x_ub_robot is not None else None
+
+    # -- EE helpers ------------------------------------------------------
+    def ee_state_of(x):
+        return robot.ee_state(x[: dims.robot_x])
+
+    def interp_target(p):
+        tgt = TargetTrajectory(times=p["target_times"], poses=p["target_poses"])
+        return tgt.interpolate(p["t"])
+
+    # -- stage cost ------------------------------------------------------
+    def stage_quad(x, u, p):
+        dx = x[: dims.robot_x] - xd_robot
+        return 0.5 * dx @ W_state_robot @ dx + 0.5 * u @ W_u @ u
+
+    ia_conf = ctrl.get("inertial_alignment", {})
+    ia_cost_enabled = bool(ia_conf.get("cost_enabled", False))
+    ia_weight = float(ia_conf.get("cost_weight", 1.0))
+    ia_normal = np.asarray(ia_conf.get("contact_plane_normal", [0, 0, 1]), dtype=float)
+    ia_span = None
+    if ia_cost_enabled or ia_conf.get("constraint_enabled", False):
+        from upright_tpu.core.polyhedron import plane_span as np_plane_span
+
+        ia_span = jnp.asarray(np_plane_span(ia_normal))
+
+    def stage_residuals(x, u, p):
+        """Nonlinear GN residuals: EE pose error (+ inertial alignment)."""
+        rd, qd, _s = interp_target(p)
+        ee = ee_state_of(x)
+        # orientation error vs desired quaternion, as in OCS2
+        from upright_tpu.core.math import rot_to_quat
+
+        q_act = rot_to_quat(ee.C_we)
+        e = jnp.concatenate(
+            [ee.r_ew_w - rd, orientation_error(q_act, qd)]
+        )
+        W = W_ee
+        if ia_cost_enabled:
+            # alignment residual S C_we^T (a - g) / |g|
+            # (inertial_alignment.cpp:158-165)
+            a_total = ee.a_ew_w - gravity
+            e_align = ia_span @ (ee.C_we.T @ a_total) / jnp.linalg.norm(gravity)
+            e = jnp.concatenate([e, e_align])
+            W = jax.scipy.linalg.block_diag(W_ee, ia_weight * jnp.eye(2))
+        return e, W
+
+    def stage_cost(x, u, p):
+        r, W = stage_residuals(x, u, p)
+        return stage_quad(x, u, p) + 0.5 * r @ W @ r
+
+    # -- equality constraints: object dynamics ---------------------------
+    def eq(x, u, p):
+        if n_obj == 0:
+            return jnp.zeros((0,))
+        forces_flat = u[nq:]
+        scen = model.replace(params=p["obj_params"])
+        if frictionless:
+            forces = bal.expand_frictionless_forces(scen, forces_flat)
+        else:
+            forces = forces_flat.reshape(nc, 3)
+        ee = ee_state_of(x)
+        return bal.object_dynamics_constraints(scen, forces, ee, gravity)
+
+    n_eq = 6 * n_obj
+
+    # -- inequality constraints -----------------------------------------
+    ee_box_conf = ctrl.get("end_effector_box_constraint", {"enabled": False})
+    ee_box_enabled = bool(ee_box_conf.get("enabled", False))
+    if ee_box_enabled:
+        xyz_lower = jnp.asarray(np.asarray(ee_box_conf["xyz_lower"], dtype=float))
+        xyz_upper = jnp.asarray(np.asarray(ee_box_conf["xyz_upper"], dtype=float))
+
+    ia_con_enabled = bool(ia_conf.get("constraint_enabled", False))
+    ia_alpha = float(ia_conf.get("alpha", 0.0))
+
+    obs_enabled = bool(obstacles_conf.get("enabled", False))
+    collision_pairs = []
+    if obs_enabled:
+        collision_pairs = _build_collision_pairs(ctrl, robot, num_obstacles)
+    min_dist = float(obstacles_conf.get("minimum_distance", 0.1))
+
+    def ineq(x, u, p):
+        rows = []
+        # friction cones (frictional mode; frictionless cones are the
+        # f >= 0 input bounds)
+        if nc > 0 and not frictionless:
+            scen = model.replace(params=p["obj_params"])
+            forces = u[nq:].reshape(nc, 3)
+            rows.append(bal.contact_force_constraints_linearized(scen, forces))
+        # state / input box constraints
+        if x_lb is not None:
+            xr = x[: dims.robot_x]
+            rows.append(xr - x_lb)
+            rows.append(x_ub - xr)
+        if u_lb is not None:
+            rows.append(u - u_lb)
+            rows.append(u_ub - u)
+        # EE position box around the desired position
+        # (end_effector_box_constraint.h:12-88)
+        if ee_box_enabled:
+            rd, _qd, _s = interp_target(p)
+            r_ee = ee_state_of(x).r_ew_w
+            rows.append(r_ee - (rd + xyz_lower))
+            rows.append((rd + xyz_upper) - r_ee)
+        # inertial alignment cone (inertial_alignment.cpp:7-51)
+        if ia_con_enabled:
+            ee = ee_state_of(x)
+            a = ee.C_we.T @ (ee.a_ew_w - gravity)
+            a_n = ia_normal_j @ a
+            a_t = ia_span @ a
+            rows.append(
+                jnp.stack(
+                    [
+                        a_n,
+                        ia_alpha * a_n - a_t[0] - a_t[1],
+                        ia_alpha * a_n - a_t[0] + a_t[1],
+                        ia_alpha * a_n + a_t[0] - a_t[1],
+                        ia_alpha * a_n + a_t[0] + a_t[1],
+                    ]
+                )
+            )
+        # collision avoidance: sphere-sphere distances
+        if collision_pairs:
+            rows.append(_collision_rows(x))
+        if not rows:
+            return jnp.zeros((0,))
+        return jnp.concatenate(rows)
+
+    ia_normal_j = jnp.asarray(ia_normal)
+
+    def _collision_rows(x):
+        q = x[:nq]
+        link_pos = robot.link_positions(q)
+        names_all = robot.chain.joint_names
+        out = []
+        for pair in collision_pairs:
+            (link_a, off_a, rad_a), b = pair
+            ia_idx = names_all.index(link_a)
+            pa = link_pos[ia_idx] + off_a
+            if isinstance(b, int):
+                # dynamic obstacle index
+                s = x[3 * nq + 9 * b : 3 * nq + 9 * b + 3]
+                pb, rad_b = s, 0.1
+            else:
+                (pb, rad_b) = b
+                pb = jnp.asarray(pb)
+            dist = jnp.linalg.norm(pa - pb)
+            out.append(dist - (rad_a + rad_b + min_dist))
+        return jnp.stack(out)
+
+    n_ineq_probe = None  # computed below by tracing shapes
+
+    # -- terminal constraints -------------------------------------------
+    def final_eq(x, p):
+        # EE at the desired position, zero velocity/acceleration
+        # (stationary_desired_position_constraint.h:11-84)
+        rd, _qd, _s = interp_target(p)
+        r_ee = ee_state_of(x).r_ew_w
+        v = x[nq : 2 * nq]
+        a = x[2 * nq : 3 * nq]
+        return jnp.concatenate([r_ee - rd, v, a])
+
+    n_feq = 3 + 2 * nq
+
+    def final_cost(x, p):
+        return 0.0
+
+    def final_quad(x, p):
+        return 0.0
+
+    # probe the inequality row count with dummy inputs
+    dummy_x = jnp.zeros(dims.x)
+    dummy_u = jnp.zeros(dims.u)
+    dummy_p = {
+        "t": jnp.zeros(()),
+        "target_times": jnp.zeros((1,)),
+        "target_poses": jnp.concatenate([jnp.zeros((1, 3)), jnp.array([[0, 0, 0, 1.0, 0]])], axis=1),
+        "obj_params": model.params,
+    }
+    n_ineq = int(jax.eval_shape(ineq, dummy_x, dummy_u, dummy_p).shape[0])
+
+    ocp = OCP(
+        N=N, nx=dims.x, nu=dims.u, n_eq=n_eq, n_ineq=n_ineq, n_feq=n_feq,
+        dynamics=dynamics, stage_cost=stage_cost, eq=eq, ineq=ineq,
+        final_cost=final_cost, final_eq=final_eq,
+        stage_residuals=stage_residuals, stage_quad=stage_quad,
+        final_quad=final_quad,
+        u_lb=u_lb, u_ub=u_ub,
+    )
+
+    # -- initial state + target -----------------------------------------
+    x0 = jnp.concatenate(
+        [x0_robot] + [jnp.zeros(9) for _ in range(num_obstacles)]
+    )
+    # target waypoints relative to the initial EE pose (wrappers.py:13-75)
+    from upright_tpu.core.math import rot_to_quat
+
+    R0, r0 = robot.ee_pose(x0_robot[:nq])
+    q0 = rot_to_quat(R0)
+    waypoints = ctrl.get("waypoints", [{"time": 0.0}])
+    target = TargetTrajectory.from_waypoints(waypoints, np.asarray(r0), np.asarray(q0))
+
+    return UprightProblem(
+        ocp=ocp, dims=dims, robot=robot, balance_model=model, dt=dt,
+        x0=x0, xd=xd_robot, target=target, gravity=gravity, config=config,
+    )
+
+
+def _build_collision_pairs(ctrl, robot, num_obstacles):
+    """Static obstacle spheres x robot collision spheres.
+
+    The reference uses HPP-FCL distance pairs over URDF collision links
+    (controller_interface.cpp:450-481); our configs declare spheres directly.
+    """
+    pairs = []
+    obs_conf = ctrl.get("obstacles", {})
+    robot_spheres = [
+        (s["link"], jnp.asarray(np.asarray(s.get("offset", [0, 0, 0]), dtype=float)), float(s["radius"]))
+        for s in obs_conf.get("collision_spheres", [])
+    ]
+    for sphere in robot_spheres:
+        for obs in obs_conf.get("static_obstacles", []):
+            pairs.append((sphere, (np.asarray(obs["position"], dtype=float), float(obs["radius"]))))
+        for i in range(num_obstacles):
+            pairs.append((sphere, i))
+    return pairs

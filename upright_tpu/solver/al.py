@@ -1,0 +1,329 @@
+"""Augmented-Lagrangian SQP trajectory optimizer with Riccati backward pass.
+
+TPU-native replacement for OCS2's MultipleShootingMpc + HPIPM
+(reference controller_interface.cpp:395-398; settings wrappers.py:104-143).
+Design rationale:
+
+  - HPIPM's interior-point QP does data-dependent pivoting and branching —
+    hostile to XLA.  The augmented-Lagrangian method (ALTRO-style) needs only
+    matmuls, Cholesky factorizations of tiny (nu x nu) blocks, and elementwise
+    max — everything batches over thousands of problem instances with vmap.
+  - The backward pass is a `lax.scan` over the horizon (N ~ 20).  Within one
+    instance it is sequential (like HPIPM's Riccati), but the throughput axis
+    on TPU is the *batch*: vmapped instances fill the MXU.
+  - Soft/hard constraint semantics: equalities and inequalities both enter
+    the AL merit; warm-started multipliers across MPC re-solves reproduce the
+    reference's 1-iteration warm-started SQP behavior
+    (config/controller.yaml:55-67).
+
+All functions are pure; `solve` jits and vmaps cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from upright_tpu.solver.ocp import OCP, Solution, SolverState
+
+
+@dataclasses.dataclass(frozen=True)
+class ALConfig:
+    """Static solver configuration (compiled into the jitted solve)."""
+
+    iterations: int = 1  # SQP (inner) iterations per solve
+    rho_eq: float = 10.0  # equality penalty
+    rho_ineq: float = 10.0  # inequality penalty
+    reg: float = 1e-6  # Levenberg regularization on Quu
+    line_search_steps: Tuple[float, ...] = (
+        1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001,
+    )
+    mu_max: float = 1e6  # inequality-multiplier safeguard
+    update_multipliers: bool = True  # AL dual update at end of solve
+
+
+# ---------------------------------------------------------------------------
+# augmented-Lagrangian stage objective
+# ---------------------------------------------------------------------------
+
+
+def _al_stage_cost(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
+    """l + lam'g + rho/2|g|^2 + rho/2|max(0, mu/rho - h)|^2 (PHR form)."""
+    l = ocp.stage_cost(x, u, p)
+    if ocp.n_eq > 0:
+        g = ocp.eq(x, u, p)
+        l = l + lam @ g + 0.5 * cfg.rho_eq * g @ g
+    if ocp.n_ineq > 0:
+        h = ocp.ineq(x, u, p)
+        psi = jnp.maximum(0.0, mu / cfg.rho_ineq - h)
+        l = l + 0.5 * cfg.rho_ineq * psi @ psi
+    return l
+
+
+def _al_final_cost(ocp: OCP, cfg: ALConfig, x, p_f, lam_f):
+    l = ocp.final_cost(x, p_f)
+    if ocp.n_feq > 0:
+        g = ocp.final_eq(x, p_f)
+        l = l + lam_f @ g + 0.5 * cfg.rho_eq * g @ g
+    return l
+
+
+# ---------------------------------------------------------------------------
+# stage linearization (gradients + Gauss-Newton Hessians)
+# ---------------------------------------------------------------------------
+
+
+def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
+    """Gradient and GN Hessian of the AL stage cost w.r.t. z = (x, u)."""
+    nx, nu = ocp.nx, ocp.nu
+
+    def L(z):
+        return _al_stage_cost(ocp, cfg, z[:nx], z[nx:], p, lam, mu)
+
+    z = jnp.concatenate([x, u])
+    grad = jax.grad(L)(z)
+
+    # GN Hessian assembled from residual Jacobians
+    if ocp.stage_quad is not None:
+        def quad(z):
+            return ocp.stage_quad(z[:nx], z[nx:], p)
+
+        H = jax.hessian(quad)(z)
+    else:
+        def base(z):
+            return ocp.stage_cost(z[:nx], z[nx:], p)
+
+        H = jax.hessian(base)(z)
+
+    if ocp.stage_residuals is not None:
+        def res(z):
+            return ocp.stage_residuals(z[:nx], z[nx:], p)[0]
+
+        r, W = ocp.stage_residuals(x, u, p)
+        J = jax.jacfwd(res)(z)
+        H = H + J.T @ (W @ J)
+
+    if ocp.n_eq > 0:
+        def eqz(z):
+            return ocp.eq(z[:nx], z[nx:], p)
+
+        Jg = jax.jacfwd(eqz)(z)
+        H = H + cfg.rho_eq * Jg.T @ Jg
+
+    if ocp.n_ineq > 0:
+        def inz(z):
+            return ocp.ineq(z[:nx], z[nx:], p)
+
+        h = ocp.ineq(x, u, p)
+        active = (mu / cfg.rho_ineq - h) > 0.0
+        Jh = jax.jacfwd(inz)(z)
+        Jh_active = Jh * active[:, None]
+        H = H + cfg.rho_ineq * Jh_active.T @ Jh_active
+
+    return grad, H
+
+
+def _final_derivatives(ocp: OCP, cfg: ALConfig, x, p_f, lam_f):
+    def Lf(x_):
+        return _al_final_cost(ocp, cfg, x_, p_f, lam_f)
+
+    grad = jax.grad(Lf)(x)
+
+    if ocp.final_quad is not None:
+        H = jax.hessian(lambda x_: ocp.final_quad(x_, p_f))(x)
+    else:
+        H = jax.hessian(lambda x_: ocp.final_cost(x_, p_f))(x)
+
+    if ocp.final_residuals is not None:
+        r, W = ocp.final_residuals(x, p_f)
+        J = jax.jacfwd(lambda x_: ocp.final_residuals(x_, p_f)[0])(x)
+        H = H + J.T @ (W @ J)
+
+    if ocp.n_feq > 0:
+        Jg = jax.jacfwd(lambda x_: ocp.final_eq(x_, p_f))(x)
+        H = H + cfg.rho_eq * Jg.T @ Jg
+
+    return grad, H
+
+
+# ---------------------------------------------------------------------------
+# Riccati backward pass (sequential lax.scan over the horizon)
+# ---------------------------------------------------------------------------
+
+
+def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
+    """Multiple-shooting Riccati recursion with defects.
+
+    A, B: (N, nx, nx), (N, nx, nu); d: (N, nx) defects f(x_k,u_k) - x_{k+1};
+    grads/hess: stage AL derivatives stacked over stages.
+    Returns (K, kff): feedback gains (N, nu, nx) and feedforward (N, nu).
+    """
+    nx, nu = ocp.nx, ocp.nu
+
+    def step(carry, inp):
+        P, p = carry
+        A_k, B_k, d_k, g_k, H_k = inp
+        lx = g_k[:nx]
+        lu = g_k[nx:]
+        lxx = H_k[:nx, :nx]
+        lux = H_k[nx:, :nx]
+        luu = H_k[nx:, nx:]
+
+        Pd_p = p + P @ d_k
+        Qx = lx + A_k.T @ Pd_p
+        Qu = lu + B_k.T @ Pd_p
+        PA = P @ A_k
+        PB = P @ B_k
+        Qxx = lxx + A_k.T @ PA
+        Quu = luu + B_k.T @ PB + cfg.reg * jnp.eye(nu)
+        Qux = lux + B_k.T @ PA
+
+        cho = jax.scipy.linalg.cho_factor(Quu)
+        K = -jax.scipy.linalg.cho_solve(cho, Qux)
+        kff = -jax.scipy.linalg.cho_solve(cho, Qu)
+
+        P_new = Qxx + Qux.T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = Qx + Qux.T @ kff
+
+        return (P_new, p_new), (K, kff)
+
+    (P0, p0), (K, kff) = jax.lax.scan(
+        step, (Hf, gf), (A, B, d, grads, hess), reverse=True
+    )
+    return K, kff
+
+
+# ---------------------------------------------------------------------------
+# forward pass: nonlinear rollout with feedback, batched line search
+# ---------------------------------------------------------------------------
+
+
+def _rollout(ocp: OCP, X_ref, U_ref, K, kff, alpha, x0, p_stage):
+    def step(x, inp):
+        x_r, u_r, K_k, k_k, p_k = inp
+        u = u_r + alpha * k_k + K_k @ (x - x_r)
+        if ocp.u_lb is not None:
+            # input-bound clamping (box-DDP style forward pass)
+            u = jnp.clip(u, ocp.u_lb, ocp.u_ub)
+        x_next = ocp.dynamics(x, u, p_k)
+        return x_next, (x, u)
+
+    x_last, (Xs, Us) = jax.lax.scan(
+        step, x0, (X_ref[:-1], U_ref, K, kff, p_stage)
+    )
+    X = jnp.concatenate([Xs, x_last[None]], axis=0)
+    return X, Us
+
+
+def _merit(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu, lam_f):
+    stage = jax.vmap(
+        lambda x, u, p, l, m: _al_stage_cost(ocp, cfg, x, u, p, l, m)
+    )(X[:-1], U, p_stage, lam, mu)
+    return jnp.sum(stage) + _al_final_cost(ocp, cfg, X[-1], p_final, lam_f)
+
+
+# ---------------------------------------------------------------------------
+# main solve
+# ---------------------------------------------------------------------------
+
+
+def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
+    """Run cfg.iterations AL-SQP iterations from the warm start ``state``.
+
+    params: {"stage": pytree with leading axis N, "final": pytree}.
+    Fully jittable; vmap over (params, x0, state) for batch solves.
+    """
+    p_stage = params["stage"]
+    p_final = params["final"]
+
+    def sqp_iter(carry, _):
+        X, U, lam, mu, lam_f = carry
+
+        # pin the initial state
+        X = X.at[0].set(x0)
+
+        # linearize dynamics + defects
+        def lin_dyn(x, u, p):
+            A = jax.jacfwd(lambda x_: ocp.dynamics(x_, u, p))(x)
+            B = jax.jacfwd(lambda u_: ocp.dynamics(x, u_, p))(u)
+            return A, B
+
+        A, B = jax.vmap(lin_dyn)(X[:-1], U, p_stage)
+        f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
+        d = f_next - X[1:]
+
+        # AL stage derivatives
+        grads, hess = jax.vmap(
+            lambda x, u, p, l, m: _stage_derivatives(ocp, cfg, x, u, p, l, m)
+        )(X[:-1], U, p_stage, lam, mu)
+        gf, Hf = _final_derivatives(ocp, cfg, X[-1], p_final, lam_f)
+
+        # Riccati
+        K, kff = _backward_pass(ocp, cfg, A, B, d, grads, hess, gf, Hf)
+
+        # line search over fixed candidates (vmapped rollouts)
+        alphas = jnp.asarray(cfg.line_search_steps)
+
+        def try_alpha(alpha):
+            Xa, Ua = _rollout(ocp, X, U, K, kff, alpha, x0, p_stage)
+            m = _merit(ocp, cfg, Xa, Ua, p_stage, p_final, lam, mu, lam_f)
+            return m, Xa, Ua
+
+        merits, Xs, Us = jax.vmap(try_alpha)(alphas)
+        merit0 = _merit(ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f)
+        merits = jnp.where(jnp.isnan(merits), jnp.inf, merits)
+        best = jnp.argmin(merits)
+
+        accept = merits[best] < merit0
+        X_new = jnp.where(accept, Xs[best], X)
+        U_new = jnp.where(accept, Us[best], U)
+
+        # dual (multiplier) update each iteration: makes warm-started
+        # 1-iteration MPC solves track the constrained optimum
+        if cfg.update_multipliers:
+            if ocp.n_eq > 0:
+                g = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X_new[:-1], U_new, p_stage)
+                lam = lam + cfg.rho_eq * g
+            if ocp.n_ineq > 0:
+                h = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X_new[:-1], U_new, p_stage)
+                mu = jnp.clip(jnp.maximum(0.0, mu - cfg.rho_ineq * h), 0.0, cfg.mu_max)
+            if ocp.n_feq > 0:
+                lam_f = lam_f + cfg.rho_eq * ocp.final_eq(X_new[-1], p_final)
+
+        return (X_new, U_new, lam, mu, lam_f), (merits[best], K)
+
+    carry0 = (state.X, state.U, state.lam, state.mu, state.lam_f)
+    (X, U, lam, mu, lam_f), (_, Ks) = jax.lax.scan(
+        sqp_iter, carry0, None, length=cfg.iterations
+    )
+    K = Ks[-1]
+
+    # diagnostics
+    cost_stage = jax.vmap(lambda x, u, p: ocp.stage_cost(x, u, p))(X[:-1], U, p_stage)
+    cost = jnp.sum(cost_stage) + ocp.final_cost(X[-1], p_final)
+
+    if ocp.n_eq > 0:
+        g = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X[:-1], U, p_stage)
+        eq_viol = jnp.max(jnp.abs(g))
+    else:
+        eq_viol = jnp.zeros(())
+    if ocp.n_feq > 0:
+        eq_viol = jnp.maximum(eq_viol, jnp.max(jnp.abs(ocp.final_eq(X[-1], p_final))))
+    if ocp.n_ineq > 0:
+        h = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X[:-1], U, p_stage)
+        ineq_viol = jnp.max(jnp.maximum(0.0, -h))
+    else:
+        ineq_viol = jnp.zeros(())
+
+    f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
+    defect = jnp.max(jnp.abs(f_next - X[1:]))
+
+    new_state = SolverState(X=X, U=U, lam=lam, mu=mu, lam_f=lam_f)
+    return Solution(
+        state=new_state, K=K, cost=cost, eq_viol=eq_viol,
+        ineq_viol=ineq_viol, defect=defect,
+    )

@@ -1,0 +1,159 @@
+"""MPC manager: warm-started re-solving + policy evaluation.
+
+Replaces the reference ControllerManager + OCS2 MPC/MRT machinery
+(upright_control/src/upright_control/manager.py:100-209,
+controller_python_interface.h:13-93).  The solver state (trajectories + AL
+multipliers) persists across re-solves, reproducing the reference's
+warm-started 1-iteration SQP at the replan rate; policy evaluation
+interpolates the plan and applies the time-varying LQR feedback gains
+(sqp.use_feedback_policy, config/controller.yaml:60).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upright_tpu.ocp.problem import UprightProblem, build_problem
+from upright_tpu.ocp.reference import TargetTrajectory
+from upright_tpu.solver.al import ALConfig, solve
+from upright_tpu.solver.ocp import SolverState, zeros_warm_start
+
+
+@dataclasses.dataclass
+class MPCSettings:
+    """Runtime MPC settings (reference mpc/sqp config blocks)."""
+
+    replan_interval: float = 0.01  # min time between re-solves (100 Hz cap)
+    iterations: int = 1  # SQP iterations per replan
+    warmstart_iterations: int = 12  # iterations for the initial solve
+    rho_eq: float = 10.0
+    rho_ineq: float = 10.0
+    use_feedback_policy: bool = True
+
+    @staticmethod
+    def from_config(ctrl_conf):
+        sqp = ctrl_conf.get("sqp", {})
+        tracking = ctrl_conf.get("tracking", {})
+        return MPCSettings(
+            replan_interval=float(tracking.get("min_policy_update_time", 0.01)),
+            iterations=int(sqp.get("sqp_iteration", 1)),
+            use_feedback_policy=bool(sqp.get("use_feedback_policy", True)),
+        )
+
+
+class ControllerManager:
+    """Owns the problem + jitted solver; mirrors the reference manager API:
+    ``warmstart()``, ``step(t, x) -> (xd, u)``, ``plan(...)``."""
+
+    def __init__(self, problem: UprightProblem, settings: Optional[MPCSettings] = None):
+        self.problem = problem
+        self.settings = settings or MPCSettings.from_config(problem.config["controller"])
+
+        self._cfg = ALConfig(
+            iterations=self.settings.iterations,
+            rho_eq=self.settings.rho_eq,
+            rho_ineq=self.settings.rho_ineq,
+        )
+        self._warm_cfg = dataclasses.replace(
+            self._cfg, iterations=self.settings.warmstart_iterations
+        )
+
+        ocp = problem.ocp
+
+        self._solve = jax.jit(
+            lambda params, x0, state: solve(ocp, self._cfg, params, x0, state)
+        )
+        self._solve_warm = jax.jit(
+            lambda params, x0, state: solve(ocp, self._warm_cfg, params, x0, state)
+        )
+
+        self.state: Optional[SolverState] = None
+        self.solution = None
+        self.last_plan_time = -np.inf
+        self.target = problem.target
+        self.replanning_durations = []  # wall-clock per replan (profiling
+        # parity with manager.py:163-168)
+
+    @classmethod
+    def from_config(cls, config, settings: Optional[MPCSettings] = None):
+        return cls(build_problem(config), settings)
+
+    # -- lifecycle -------------------------------------------------------
+
+    def reset(self, target: Optional[TargetTrajectory] = None):
+        if target is not None:
+            self.target = target
+        self.state = None
+        self.solution = None
+        self.last_plan_time = -np.inf
+
+    def warmstart(self, t=0.0, x=None):
+        """Initial high-iteration solve (reference manager.py:147-154)."""
+        x = self.problem.x0 if x is None else jnp.asarray(x)
+        params = self.problem.stage_params(t, self.target)
+        state = zeros_warm_start(self.problem.ocp, x)
+        t_start = time.perf_counter()
+        sol = self._solve_warm(params, x, state)
+        jax.block_until_ready(sol.state.X)
+        self.replanning_durations.append(time.perf_counter() - t_start)
+        self.state = sol.state
+        self.solution = sol
+        self.last_plan_time = t
+        return sol
+
+    # -- control loop ----------------------------------------------------
+
+    def step(self, t, x):
+        """Advance the MPC (replan if due) and evaluate the policy at (t, x).
+
+        Returns (xd, u): desired state and input, with the LQR feedback
+        applied if enabled (reference manager.py:156-176 +
+        mrt evaluatePolicy semantics)."""
+        x = jnp.asarray(x)
+        if self.state is None:
+            self.warmstart(t, x)
+        elif t >= self.last_plan_time + self.settings.replan_interval:
+            params = self.problem.stage_params(t, self.target)
+            t_start = time.perf_counter()
+            sol = self._solve(params, x, self.state)
+            jax.block_until_ready(sol.state.X)
+            self.replanning_durations.append(time.perf_counter() - t_start)
+            self.state = sol.state
+            self.solution = sol
+            self.last_plan_time = t
+
+        return self.evaluate_policy(t, x)
+
+    def evaluate_policy(self, t, x):
+        """Interpolate the plan at time t; optionally add LQR feedback."""
+        sol = self.solution
+        dt = self.problem.dt
+        tau = (t - self.last_plan_time) / dt
+        k = int(np.clip(np.floor(float(tau)), 0, self.problem.ocp.N - 1))
+        alpha = float(np.clip(float(tau) - k, 0.0, 1.0))
+
+        X, U = sol.state.X, sol.state.U
+        xd = (1 - alpha) * X[k] + alpha * X[k + 1]
+        u = U[k]
+        if self.settings.use_feedback_policy:
+            u = u + sol.K[k] @ (jnp.asarray(x) - X[k])
+        return np.asarray(xd), np.asarray(u)
+
+    def plan(self, timestep, duration, t0=0.0, x0=None):
+        """Unroll the current solution into a dense (t, x, u) trajectory
+        (reference manager.py:186-209, offline robust-planning mode)."""
+        if self.state is None:
+            self.warmstart(t0, x0)
+        ts = np.arange(t0, t0 + duration + 1e-9, timestep)
+        xs, us = [], []
+        for t in ts:
+            xd, u = self.evaluate_policy(t, None if x0 is None else x0)
+            xs.append(xd)
+            us.append(u)
+        return ts, np.asarray(xs), np.asarray(us)

@@ -1,0 +1,99 @@
+"""Optimal-control-problem definition consumed by the AL-SQP solver.
+
+This is the TPU-native replacement for OCS2's OptimalControlProblem object
+graph (reference controller_interface.cpp:103-393): instead of cost/constraint
+class hierarchies with CppAD codegen, a problem is five pure functions plus
+static dimensions.  All derivative work is jax.jacfwd/Gauss-Newton at trace
+time — the entire CppAD .so pipeline (balancing_constraints.cpp:54-56,105-107)
+disappears.
+
+Cost structure: each stage cost is
+    l(x, u) = quadratic(x, u) + 1/2 * r(x, u)^T W r(x, u)
+where r stacks the nonlinear residuals (EE pose error, inertial alignment).
+The solver uses exact gradients and Gauss-Newton Hessians J^T W J, matching
+the reference's GN treatment (end_effector_cost.h:69-99,
+inertial_alignment.cpp:146-150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class OCP:
+    """Static problem description.
+
+    All callables are pure and traced once under jit.  ``params`` passed to
+    the solver is a pytree with:
+      - ``stage``: stage-indexed pytree (leading axis N) fed to stage functions
+      - ``final``: pytree for the terminal functions
+    Stage functions receive (x, u, p_k); terminal functions receive (x, p_f).
+    """
+
+    N: int  # number of stages (shooting intervals)
+    nx: int
+    nu: int
+    n_eq: int  # equality rows per stage
+    n_ineq: int  # inequality rows per stage (h(x,u) >= 0)
+    n_feq: int  # terminal equality rows
+
+    dynamics: Callable  # (x, u, p_k) -> x_next  (exact discrete step)
+    stage_cost: Callable  # (x, u, p_k) -> scalar
+    eq: Callable  # (x, u, p_k) -> (n_eq,)
+    ineq: Callable  # (x, u, p_k) -> (n_ineq,)
+    final_cost: Callable  # (x, p_f) -> scalar
+    final_eq: Callable  # (x, p_f) -> (n_feq,)
+
+    # optional Gauss-Newton residual decomposition of the stage cost:
+    # stage_cost == quad + 1/2 r^T W r.  If provided, the solver builds GN
+    # Hessians from residual Jacobians instead of full Hessians.
+    stage_residuals: Optional[Callable] = None  # (x, u, p_k) -> (r, W)
+    stage_quad: Optional[Callable] = None  # (x, u, p_k) -> scalar (pure quadratic part)
+    final_residuals: Optional[Callable] = None  # (x, p_f) -> (r, W)
+    final_quad: Optional[Callable] = None
+
+    # optional input box bounds, enforced by clamping in the forward rollout
+    # (box-DDP style); AL multipliers on the same rows recover optimality at
+    # the bound.  Arrays of shape (nu,) or None.
+    u_lb: Optional[Any] = None
+    u_ub: Optional[Any] = None
+
+
+def zeros_warm_start(ocp: OCP, x0):
+    """Cold-start trajectories: hold x0, zero inputs and multipliers."""
+    X = jnp.tile(x0[None, :], (ocp.N + 1, 1))
+    U = jnp.zeros((ocp.N, ocp.nu))
+    lam = jnp.zeros((ocp.N, ocp.n_eq))
+    mu = jnp.zeros((ocp.N, ocp.n_ineq))
+    lam_f = jnp.zeros((ocp.n_feq,))
+    return SolverState(X=X, U=U, lam=lam, mu=mu, lam_f=lam_f)
+
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class SolverState:
+    """Warm-startable solver state: trajectories + AL multipliers."""
+
+    X: jnp.ndarray  # (N+1, nx)
+    U: jnp.ndarray  # (N, nu)
+    lam: jnp.ndarray  # (N, n_eq) equality multipliers
+    mu: jnp.ndarray  # (N, n_ineq) inequality multipliers (>= 0)
+    lam_f: jnp.ndarray  # (n_feq,) terminal equality multipliers
+
+
+@flax.struct.dataclass
+class Solution:
+    """Solver output: optimal trajectories + time-varying feedback policy."""
+
+    state: SolverState
+    K: jnp.ndarray  # (N, nu, nx) feedback gains about the optimal trajectory
+    cost: jnp.ndarray  # scalar objective (without AL terms)
+    eq_viol: jnp.ndarray  # max |g|
+    ineq_viol: jnp.ndarray  # max(0, -h) max
+    defect: jnp.ndarray  # max dynamics defect after the solve
