@@ -307,6 +307,33 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         collision_pairs = _build_collision_pairs(ctrl, robot, num_obstacles)
     min_dist = float(obstacles_conf.get("minimum_distance", 0.1))
 
+    # projectile-path avoidance (projectile_path_constraint.h:12-160): keep
+    # named links at least distance_i from the predicted ballistic path of
+    # the thrown obstacle, gated by the target's s flag
+    proj_conf = ctrl.get("projectile_path_constraint", {"enabled": False})
+    proj_enabled = bool(proj_conf.get("enabled", False)) and num_obstacles > 0
+    proj_links = list(proj_conf.get("collision_links", []))
+    proj_distances = np.asarray(proj_conf.get("distances", []), dtype=float)
+    proj_scale = float(proj_conf.get("scale", 1.0))
+
+    def _projectile_rows(x, p):
+        q = x[:nq]
+        _sd, _qd, s = interp_target(p)
+        x_obs = x[dims.robot_x : dims.robot_x + 9]
+        r_obs, v_obs, a_obs = x_obs[:3], x_obs[3:6], x_obs[6:9]
+        link_pos = robot.link_positions(q)
+        names_all = robot.chain.joint_names
+        rows = []
+        for link, dist in zip(proj_links, proj_distances):
+            r_link = link_pos[names_all.index(link)]
+            dt_c = _projectile_closest_time(r_link, r_obs, v_obs, a_obs)
+            dt_c = jnp.where(s > 0.5, jnp.maximum(0.0, dt_c), 0.0)
+            r_closest = r_obs + dt_c * v_obs + 0.5 * dt_c**2 * a_obs
+            delta = r_link - r_closest
+            w = proj_scale / dist
+            rows.append(w * s * (jnp.linalg.norm(delta) - dist))
+        return jnp.stack(rows)
+
     def ineq(x, u, p):
         rows = []
         # friction cones (frictional mode; frictionless cones are the
@@ -350,6 +377,9 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         # collision avoidance: sphere-sphere distances
         if collision_pairs:
             rows.append(_collision_rows(x))
+        # projectile path avoidance
+        if proj_enabled and proj_links:
+            rows.append(_projectile_rows(x, p))
         if not rows:
             return jnp.zeros((0,))
         return jnp.concatenate(rows)
@@ -452,3 +482,21 @@ def _build_collision_pairs(ctrl, robot, num_obstacles):
         for i in range(num_obstacles):
             pairs.append((sphere, i))
     return pairs
+
+
+def _projectile_closest_time(r, r0, v0, g, t_guess=0.0, iters=10):
+    """Time at which a ballistic trajectory r0 + v0 t + g t^2/2 is closest to
+    point r: Newton iterations on the cubic stationarity condition
+    (projectile_path_constraint.h:12-44), jit-safe fixed iteration count."""
+    dr = r - r0
+    a = jnp.dot(g, g)
+    b = 3.0 * jnp.dot(v0, g)
+    c = 2.0 * (jnp.dot(v0, v0) - jnp.dot(dr, g))
+    d = -2.0 * jnp.dot(dr, v0)
+
+    def body(_, t):
+        f = a * t**3 + b * t**2 + c * t + d
+        df = 3 * a * t**2 + 2 * b * t + c
+        return t - f / jnp.where(jnp.abs(df) > 1e-9, df, 1e-9)
+
+    return jax.lax.fori_loop(0, iters, body, t_guess * jnp.ones(()))
