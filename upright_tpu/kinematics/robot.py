@@ -57,11 +57,14 @@ _UR10_JOINTS = [
 # the repo); it is configurable via robot.arm_mount in our configs.
 DEFAULT_ARM_MOUNT = {"xyz": [0.27, 0.01, 0.653], "rpy": [0.0, 0.0, np.pi]}
 
-# Tool (gripper -> tray/gripped-object) transform; reference calibration in
-# upright_cmd/config/robots/calibration/tray_transforms_sim.yaml.
+# Tool (gripper -> tray/gripped-object) transform.  Translation from the
+# reference sim calibration (upright_cmd/config/robots/calibration/
+# tray_transforms_sim.yaml); rotation calibrated so the tray is exactly level
+# at the reference home configuration (wrist_3 = 0.417pi) — the reference
+# achieves the same via its own calibrated tray transforms.
 DEFAULT_TOOL_TRANSFORM = {
     "xyz": [0.036712437868118286, -0.0004053786105941981, 0.308562308549881],
-    "rpy": [0.0, -np.pi / 2, np.pi],
+    "rpy": [-np.pi, -1.3100441416539916, 0.0],
 }
 
 

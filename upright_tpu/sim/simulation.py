@@ -110,7 +110,7 @@ class UprightSimulation:
         self.c_contact = float(sim_config.get("contact_damping", 200.0))
         self.v_slip = float(sim_config.get("friction_regularization", 1e-3))
 
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
     # -- initialization --------------------------------------------------
 
@@ -155,7 +155,7 @@ class UprightSimulation:
     def step(self, state: SimState, cmd_vel, n_steps: int = 1) -> SimState:
         """Advance the plant by n_steps * timestep under a (held) joint
         velocity command."""
-        return self._step(state, jnp.asarray(cmd_vel), n_steps)
+        return self._step(state, jnp.asarray(cmd_vel), int(n_steps))
 
     def _step_impl(self, state: SimState, cmd_vel, n_steps):
         dt = self.timestep
