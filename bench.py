@@ -39,7 +39,7 @@ def main():
     al_cfg = ALConfig(iterations=1, rho_eq=10.0, rho_ineq=10.0)
     solve = batch_solve_fn(prob.ocp, al_cfg)
 
-    BATCH = int(__import__("os").environ.get("BENCH_BATCH", 1024))
+    BATCH = int(__import__("os").environ.get("BENCH_BATCH", 512))
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(
         np.asarray(prob.x0)[None, :]

@@ -66,7 +66,9 @@ def sharded_solve_fn(ocp: OCP, cfg: ALConfig, mesh: Mesh, axis: str = "dp"):
 
 def broadcast_params(params, batch: int):
     """Tile a single-problem parameter pytree along a new batch axis."""
-    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), params)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)), params
+    )
 
 
 def batch_warm_starts(ocp: OCP, x0s):
