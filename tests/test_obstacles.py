@@ -1,0 +1,121 @@
+"""Tests for obstacle avoidance: constraint assembly, dynamic obstacles,
+and a closed-loop collision-free navigation check."""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+import upright_tpu.config as cfg
+from upright_tpu.ocp.problem import build_problem
+from upright_tpu.sim.obstacles import DynamicObstacle, ObstacleMode
+
+
+@pytest.fixture(scope="module")
+def obstacle_config():
+    path = cfg.resolve_package_path(
+        {"package": "configs", "path": "demos/thing_obstacle_demo.yaml"}
+    )
+    return cfg.load_config(path)
+
+
+def test_collision_constraint_rows(obstacle_config):
+    prob = build_problem(obstacle_config)
+    # 4 robot spheres x 9 static obstacles = 36 collision rows on top of the
+    # cones/bounds
+    params = prob.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    h = prob.ocp.ineq(prob.x0, jnp.zeros(prob.ocp.nu), p0)
+
+    base_conf = dict(obstacle_config)
+    base_conf["controller"] = dict(obstacle_config["controller"])
+    base_conf["controller"]["obstacles"] = {"enabled": False}
+    prob_nobs = build_problem(base_conf)
+    h_nobs = prob_nobs.ocp.ineq(prob_nobs.x0, jnp.zeros(prob_nobs.ocp.nu), p0)
+    assert h.shape[0] - h_nobs.shape[0] == 36
+
+    # at the home configuration, far from the obstacles: all distances positive
+    assert (np.asarray(h[-36:]) > 0).all()
+
+
+def test_collision_rows_sign(obstacle_config):
+    """Moving the base into an obstacle pillar makes the rows negative."""
+    prob = build_problem(obstacle_config)
+    params = prob.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    x_bad = prob.x0.at[0].set(1.5).at[1].set(1.0)  # base at pillar 2
+    h = prob.ocp.ineq(x_bad, jnp.zeros(prob.ocp.nu), p0)
+    assert (np.asarray(h[-36:]) < 0).any()
+
+
+def test_dynamic_obstacle_modes():
+    modes = [
+        ObstacleMode(0.0, np.zeros(3), np.array([1.0, 0, 0]), np.zeros(3)),
+        ObstacleMode(2.0, np.array([5.0, 0, 0]), np.array([0, 1.0, 0]),
+                     np.array([0, 0, -9.81])),
+    ]
+    obs = DynamicObstacle(modes, radius=0.2)
+    assert np.allclose(obs.position(1.0), [1.0, 0, 0])
+    s = obs.state(3.0)
+    assert np.allclose(s[:3], [5.0, 1.0, -0.5 * 9.81])
+    assert np.allclose(s[3:6], [0, 1.0, -9.81])
+
+
+def test_dynamic_obstacle_in_state(obstacle_config):
+    """Dynamic obstacles extend the OCP state and propagate ballistically."""
+    conf = cfg.load_config(
+        cfg.resolve_package_path({"package": "configs", "path": "demos/thing_demo.yaml"})
+    )
+    proj = cfg.load_config(
+        cfg.resolve_package_path({"package": "configs", "path": "obstacles/projectile.yaml"})
+    )
+    conf["controller"] = cfg.recursive_dict_update(conf["controller"], proj["controller"])
+    prob = build_problem(conf)
+    assert prob.ocp.nx == 27 + 9
+    # obstacle initial state from the first mode
+    assert np.allclose(np.asarray(prob.x0[27:30]), [0, -10, 0])
+    assert np.allclose(np.asarray(prob.x0[33:36]), [0, 0, -9.81])
+    # dynamics propagate the obstacle ballistically
+    params = prob.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    x1 = prob.ocp.dynamics(prob.x0, jnp.zeros(prob.ocp.nu), p0)
+    dt = prob.dt
+    assert np.isclose(float(x1[29]), 0 - 0.5 * 9.81 * dt**2)
+    # projectile path constraint adds a row
+    h = prob.ocp.ineq(prob.x0, jnp.zeros(prob.ocp.nu), p0)
+    assert h.shape[0] > 0
+
+
+@pytest.mark.slow
+def test_closed_loop_obstacle_avoidance(obstacle_config):
+    """The Thing drives across the course without entering any obstacle."""
+    from mpc_sim import run_closed_loop
+
+    obstacle_config["simulation"]["duration"] = 6.0
+    sim, state, ctrl, logger = run_closed_loop(
+        obstacle_config, duration=6.0, ctrl_rate=50.0
+    )
+    prob = ctrl.problem
+
+    # final EE near the target
+    target_r = np.asarray(prob.target.poses[0, :3])
+    _, r_ew = sim.ee_pose(state)
+    assert np.linalg.norm(r_ew - target_r) < 0.15
+
+    # bottle survived the trip
+    disp = sim.object_displacements(state)
+    assert (disp < 0.05).all()
+
+    # collision rows stayed nonnegative-ish along the plan
+    sol = ctrl.solution
+    params = prob.stage_params(ctrl.last_plan_time)
+    import jax
+
+    h = jax.vmap(lambda x, u, p: prob.ocp.ineq(x, u, p))(
+        sol.state.X[:-1], sol.state.U, params["stage"]
+    )
+    assert float(jnp.min(h[:, -36:])) > -0.05

@@ -157,9 +157,8 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         names, objects, contacts = [], {}, []
         frictionless, nf, nc, n_obj = True, 1, 0, 0
 
-    num_obstacles = 0
     obstacles_conf = ctrl.get("obstacles", {"enabled": False})
-    dyn_obs = obstacles_conf.get("dynamic_obstacles", []) if obstacles_conf.get("enabled") else []
+    dyn_obs = obstacles_conf.get("dynamic", []) if obstacles_conf.get("enabled") else []
     num_obstacles = len(dyn_obs)
 
     dims = UprightDims(
@@ -388,17 +387,21 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
 
     def _collision_rows(x):
         q = x[:nq]
-        link_pos = robot.link_positions(q)
         names_all = robot.chain.joint_names
+        frames = robot.chain._propagate(q, jnp.zeros_like(q), jnp.zeros_like(q))
         out = []
         for pair in collision_pairs:
             (link_a, off_a, rad_a), b = pair
             ia_idx = names_all.index(link_a)
-            pa = link_pos[ia_idx] + off_a
-            if isinstance(b, int):
-                # dynamic obstacle index
-                s = x[3 * nq + 9 * b : 3 * nq + 9 * b + 3]
-                pb, rad_b = s, 0.1
+            # offset expressed in the link frame
+            pa = frames[ia_idx].p + frames[ia_idx].R @ off_a
+            if isinstance(b, str) and b == "ground":
+                # halfspace z >= 0 (controller_interface.cpp:93-101)
+                out.append(pa[2] - rad_a - min_dist)
+                continue
+            if isinstance(b, tuple) and isinstance(b[0], str) and b[0] == "dynamic":
+                idx, rad_b = b[1], b[2]
+                pb = x[3 * nq + 9 * idx : 3 * nq + 9 * idx + 3]
             else:
                 (pb, rad_b) = b
                 pb = jnp.asarray(pb)
@@ -447,9 +450,25 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     )
 
     # -- initial state + target -----------------------------------------
-    x0 = jnp.concatenate(
-        [x0_robot] + [jnp.zeros(9) for _ in range(num_obstacles)]
-    )
+    obs_states = []
+    for d in dyn_obs:
+        modes = d.get("modes", [])
+        if modes:
+            m0 = modes[0]
+            obs_states.append(
+                jnp.asarray(
+                    np.concatenate(
+                        [
+                            np.asarray(m0.get("position", [0, 0, 0]), dtype=float),
+                            np.asarray(m0.get("velocity", [0, 0, 0]), dtype=float),
+                            np.asarray(m0.get("acceleration", [0, 0, 0]), dtype=float),
+                        ]
+                    )
+                )
+            )
+        else:
+            obs_states.append(jnp.zeros(9))
+    x0 = jnp.concatenate([x0_robot] + obs_states) if obs_states else x0_robot
     # target waypoints relative to the initial EE pose (wrappers.py:13-75)
     from upright_tpu.core.math import rot_to_quat
 
@@ -465,10 +484,12 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
 
 
 def _build_collision_pairs(ctrl, robot, num_obstacles):
-    """Static obstacle spheres x robot collision spheres.
+    """Robot collision spheres x (static spheres | dynamic obstacles | ground).
 
     The reference uses HPP-FCL distance pairs over URDF collision links
-    (controller_interface.cpp:450-481); our configs declare spheres directly.
+    (controller_interface.cpp:450-481, collision_links.urdf.xacro); our
+    configs declare the spheres directly: each robot sphere is attached to a
+    named chain frame with a local offset.
     """
     pairs = []
     obs_conf = ctrl.get("obstacles", {})
@@ -476,11 +497,16 @@ def _build_collision_pairs(ctrl, robot, num_obstacles):
         (s["link"], jnp.asarray(np.asarray(s.get("offset", [0, 0, 0]), dtype=float)), float(s["radius"]))
         for s in obs_conf.get("collision_spheres", [])
     ]
+    dyn = obs_conf.get("dynamic", [])
+    ground = bool(obs_conf.get("ground", {}).get("enabled", False))
+    ground_links = set(obs_conf.get("ground", {}).get("links", []))
     for sphere in robot_spheres:
         for obs in obs_conf.get("static_obstacles", []):
             pairs.append((sphere, (np.asarray(obs["position"], dtype=float), float(obs["radius"]))))
-        for i in range(num_obstacles):
-            pairs.append((sphere, i))
+        for i, d in enumerate(dyn):
+            pairs.append((sphere, ("dynamic", i, float(d.get("radius", 0.1)))))
+        if ground and (not ground_links or sphere[0] in ground_links):
+            pairs.append((sphere, "ground"))
     return pairs
 
 
