@@ -1,0 +1,182 @@
+"""Offline robust planning + batched tracking sweeps.
+
+Re-design of the reference robust experiment pipeline
+(upright_robust/scripts/planning_sim_loop.py):
+
+  1. PLAN once, offline, with a long horizon covering the whole motion, with
+     the balance model replicated over CoM-box vertex scenarios — one OCP
+     that must balance every scenario (reference :513-534, :132-134).
+  2. TRACK the fixed plan with P-control on position
+     (v_cmd = Kp (qd - q) + vd, reference :157-176).
+  3. SWEEP true inertial parameters: the reference loops 135 PyBullet runs
+     serially (:613-655); here the whole sweep is ONE vmapped rollout of the
+     JAX plant over a batch of parameter sets.
+  4. VERIFY post-hoc with the closed-form worst-case analysis
+     (robust/verification.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upright_tpu.ocp.problem import build_problem
+from upright_tpu.robust.scenarios import stack_vertex_scenarios_in_model
+from upright_tpu.solver.al import ALConfig, solve
+from upright_tpu.solver.ocp import zeros_warm_start
+
+
+@dataclasses.dataclass
+class OfflinePlan:
+    dt: float
+    ts: np.ndarray  # (N+1,)
+    X: np.ndarray  # (N+1, nx)
+    U: np.ndarray  # (N, nu)
+
+    def interpolate(self, t):
+        """(qd, vd) at time t (clamped past the horizon end, reference
+        track_plan_node.cpp zero command after horizon)."""
+        tau = np.clip(t / self.dt, 0.0, len(self.U) - 1e-9)
+        k = int(np.floor(tau))
+        a = tau - k
+        xd = (1 - a) * self.X[k] + a * self.X[k + 1]
+        return xd
+
+    def dense(self, rate):
+        """Per-tick desired states at the given control rate."""
+        T = self.ts[-1]
+        n = int(np.floor(T * rate))
+        return np.stack([self.interpolate(i / rate) for i in range(n)])
+
+
+def plan_robust(config, com_half_extents=None, duration=None, iterations=60,
+                rho=10.0, use_parallel_scan=False):
+    """Solve the offline robust plan.
+
+    com_half_extents: per-object CoM uncertainty boxes; when given, the
+    balance model is expanded 8x (vertex scenarios, reference :513-534).
+    duration: plan horizon in seconds (defaults to mpc.time_horizon).
+    """
+    ctrl = config["controller"]
+    dt = float(ctrl.get("sqp", {}).get("dt", 0.1))
+    if duration is None:
+        duration = float(ctrl.get("mpc", {}).get("time_horizon", 2.0))
+    N = int(round(duration / dt))
+
+    prob = build_problem(config, N=N)
+    balance_params = None
+    if com_half_extents is not None and prob.balance_model.num_objects:
+        robust_model = stack_vertex_scenarios_in_model(
+            prob.balance_model, com_half_extents
+        )
+        # rebuild the problem with the expanded model: simplest is to patch
+        # the model and re-assemble (dims change: 8x objects, same contacts)
+        prob = _with_balance_model(config, N, robust_model)
+        balance_params = robust_model.params
+
+    al_cfg = ALConfig(iterations=iterations, rho_eq=rho, rho_ineq=rho)
+    params = prob.stage_params(0.0, balance_params=balance_params)
+    sol = solve(prob.ocp, al_cfg, params, prob.x0, zeros_warm_start(prob.ocp, prob.x0))
+
+    ts = np.arange(N + 1) * dt
+    return prob, sol, OfflinePlan(
+        dt=dt, ts=ts, X=np.asarray(sol.state.X), U=np.asarray(sol.state.U)
+    )
+
+
+def _with_balance_model(config, N, model):
+    """Build the problem, then swap in an expanded balance model.
+
+    The OCP closures capture the model via its stacked arrays; rebuilding
+    with a patched parse is the cleanest path."""
+    import upright_tpu.ocp.problem as problem_mod
+
+    prob = build_problem(config, N=N)
+    if model.params.shape == prob.balance_model.params.shape:
+        return prob
+
+    # monkey-level swap: rebuild with the expanded model by overriding the
+    # parser output
+    orig = problem_mod.cfg_mod.parse_control_objects
+
+    def patched(conf):
+        m, names, objects, contacts = orig(conf)
+        return model, names, objects, contacts
+
+    problem_mod.cfg_mod.parse_control_objects = patched
+    try:
+        prob = build_problem(config, N=N)
+    finally:
+        problem_mod.cfg_mod.parse_control_objects = orig
+    return prob
+
+
+def tracking_sweep(sim, plan: OfflinePlan, param_batch, kp=10.0,
+                   ctrl_rate=125.0, duration=None):
+    """Track the plan under a batch of true inertial parameters — the whole
+    sweep is one jitted, vmapped rollout.
+
+    param_batch: pytree with leading batch axis matching
+    ``sim.default_params()`` leaves.
+    Returns final object displacements (B, n_obj) in the tray frame.
+    """
+    nq = sim.robot.nq
+    duration = duration or float(plan.ts[-1])
+    n_ticks = int(np.floor(duration * ctrl_rate))
+    n_sub = max(1, int(round(1.0 / ctrl_rate / sim.timestep)))
+    xd_ticks = jnp.asarray(plan.dense(ctrl_rate)[:n_ticks])
+
+    def rollout(params):
+        state = sim.initial_state()
+
+        def tick(state, xd):
+            qd = xd[:nq]
+            vd = xd[nq : 2 * nq]
+            v_cmd = kp * (qd - state.q) + vd
+            new_state = sim._step_impl(state, v_cmd, n_sub, params)
+            return new_state, None
+
+        final, _ = jax.lax.scan(tick, state, xd_ticks)
+        return final
+
+    finals = jax.jit(jax.vmap(rollout))(param_batch)
+
+    # displacements in the EE frame vs nominal
+    def displacement(state):
+        R_we, r_ew = sim.robot.ee_pose(state.q)
+        out = []
+        for i, spec in enumerate(sim.specs):
+            r_oe = R_we.T @ (state.objects.r[i] - r_ew)
+            out.append(jnp.linalg.norm(r_oe - jnp.asarray(spec.com_world_ee)))
+        return jnp.stack(out)
+
+    return np.asarray(jax.vmap(displacement)(finals))
+
+
+def make_param_sweep(sim, com_offsets=None, mass_scales=None, inertia_scales=None):
+    """Cartesian parameter sweep matching the reference's 15 CoM x 3 inertia
+    grid (:548-655), as a batched pytree for tracking_sweep."""
+    base = sim.default_params()
+    com_offsets = np.asarray(com_offsets if com_offsets is not None else [[0.0, 0, 0]])
+    mass_scales = np.asarray(mass_scales if mass_scales is not None else [1.0])
+    inertia_scales = np.asarray(inertia_scales if inertia_scales is not None else [1.0])
+
+    entries = []
+    for co in com_offsets:
+        for ms in mass_scales:
+            for is_ in inertia_scales:
+                entries.append(
+                    {
+                        "mass": base["mass"] * ms,
+                        "inertia": base["inertia"] * is_,
+                        "mu": base["mu"],
+                        "com_offset": jnp.broadcast_to(
+                            jnp.asarray(co), base["com_offset"].shape
+                        ),
+                    }
+                )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)

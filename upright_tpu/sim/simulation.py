@@ -112,6 +112,27 @@ class UprightSimulation:
 
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
+    # -- runtime inertial parameters (the robust-sweep axis) -------------
+
+    def default_params(self):
+        """Inertial/friction parameters as a runtime pytree, so parameter
+        sweeps (planning_sim_loop.py:613-655) vmap over ONE compiled plant."""
+        if self.n_obj == 0:
+            return {
+                "mass": jnp.zeros((0,)),
+                "inertia": jnp.zeros((0, 3, 3)),
+                "mu": jnp.zeros((0,)),
+                "com_offset": jnp.zeros((0, 3)),
+            }
+        return {
+            "mass": jnp.asarray([sp.mass for sp in self.specs]),
+            "inertia": jnp.asarray(np.stack([sp.inertia_local for sp in self.specs])),
+            "mu": jnp.asarray([sp.mu for sp in self.specs]),
+            # extra CoM shift relative to the nominal CoM (moves the contact
+            # vertices the other way), in the object's local frame
+            "com_offset": jnp.zeros((self.n_obj, 3)),
+        }
+
     # -- initialization --------------------------------------------------
 
     def initial_state(self) -> SimState:
@@ -152,12 +173,15 @@ class UprightSimulation:
 
     # -- dynamics --------------------------------------------------------
 
-    def step(self, state: SimState, cmd_vel, n_steps: int = 1) -> SimState:
+    def step(self, state: SimState, cmd_vel, n_steps: int = 1, params=None) -> SimState:
         """Advance the plant by n_steps * timestep under a (held) joint
-        velocity command."""
-        return self._step(state, jnp.asarray(cmd_vel), int(n_steps))
+        velocity command.  ``params`` overrides the inertial parameters
+        (see default_params)."""
+        if params is None:
+            params = self.default_params()
+        return self._step(state, jnp.asarray(cmd_vel), int(n_steps), params)
 
-    def _step_impl(self, state: SimState, cmd_vel, n_steps):
+    def _step_impl(self, state: SimState, cmd_vel, n_steps, params):
         dt = self.timestep
 
         def substep(s: SimState, _):
@@ -167,7 +191,7 @@ class UprightSimulation:
             v_new = cmd_vel
 
             if self.n_obj:
-                obj_new = self._object_substep(s, dt)
+                obj_new = self._object_substep(s, dt, params)
             else:
                 obj_new = s.objects
             return SimState(t=s.t + dt, q=q_new, v=v_new, objects=obj_new), None
@@ -181,7 +205,7 @@ class UprightSimulation:
         f = self.robot.chain.ee_motion(s.q, s.v, jnp.zeros_like(s.q))
         return f
 
-    def _object_substep(self, s: SimState, dt):
+    def _object_substep(self, s: SimState, dt, params):
         ee = self._parent_motion(s)
 
         r, q, v, w = s.objects.r, s.objects.q, s.objects.v, s.objects.w
@@ -190,7 +214,7 @@ class UprightSimulation:
         torques = []
         for i, spec in enumerate(self.specs):
             R_i = quat_to_rot(q[i])
-            f_tot = jnp.asarray(spec.mass * self.gravity)
+            f_tot = params["mass"][i] * jnp.asarray(self.gravity)
             tau_tot = jnp.zeros(3)
 
             surf = spec.surface
@@ -208,7 +232,8 @@ class UprightSimulation:
             T_w = (R_p @ jnp.asarray(surf.tangents).T).T  # (2,3)
 
             for vert in np.asarray(spec.vertices_local):
-                p_w = r[i] + R_i @ jnp.asarray(vert)
+                # runtime CoM shift moves the geometry relative to the CoM
+                p_w = r[i] + R_i @ (jnp.asarray(vert) - params["com_offset"][i])
                 # penetration depth below the surface
                 delta = -jnp.dot(n_w, p_w - p_surf_w)
                 # only contact within the rectangular extent of the surface
@@ -231,7 +256,7 @@ class UprightSimulation:
 
                 # regularized Coulomb friction
                 v_t_norm = jnp.linalg.norm(v_t) + self.v_slip
-                f_t = -spec.mu * f_n_mag * v_t / v_t_norm
+                f_t = -params["mu"][i] * f_n_mag * v_t / v_t_norm
 
                 f_c = f_n + f_t
                 f_tot = f_tot + f_c
@@ -244,17 +269,16 @@ class UprightSimulation:
         T = jnp.stack(torques)
 
         # semi-implicit Euler
-        masses = jnp.asarray([spec.mass for spec in self.specs])
-        v_new = v + dt * F / masses[:, None]
+        v_new = v + dt * F / params["mass"][:, None]
 
-        def ang_step(qi, wi, taui, spec):
+        def ang_step(qi, wi, taui, I_local):
             R = quat_to_rot(qi)
-            I_w = R @ jnp.asarray(spec.inertia_local) @ R.T
+            I_w = R @ I_local @ R.T
             w_dot = jnp.linalg.solve(I_w, taui - jnp.cross(wi, I_w @ wi))
             return wi + dt * w_dot
 
         w_new = jnp.stack(
-            [ang_step(q[i], w[i], T[i], self.specs[i]) for i in range(self.n_obj)]
+            [ang_step(q[i], w[i], T[i], params["inertia"][i]) for i in range(self.n_obj)]
         )
         r_new = r + dt * v_new
         q_new = jnp.stack(
