@@ -75,3 +75,110 @@ def test_closed_loop_ur10(ur10_config):
     # solver stayed healthy
     assert float(ctrl.solution.eq_viol) < 0.5
     assert np.isfinite(np.asarray(ctrl.solution.state.X)).all()
+
+
+@pytest.fixture(scope="module")
+def thing_config():
+    path = cfg.resolve_package_path({"package": "configs", "path": "demos/thing_demo.yaml"})
+    return cfg.load_config(path)
+
+
+@pytest.mark.slow
+def test_closed_loop_thing(thing_config):
+    """Full mobile manipulator (omnidirectional base): the base+arm carry the
+    bottle to the waypoint."""
+    from mpc_sim import run_closed_loop
+
+    sim, state, ctrl, logger = run_closed_loop(thing_config, duration=4.0, ctrl_rate=50.0)
+    prob = ctrl.problem
+    target_r = np.asarray(prob.target.poses[0, :3])
+    _, r_ew = sim.ee_pose(state)
+    assert np.linalg.norm(r_ew - target_r) < 0.1
+    disp = sim.object_displacements(state)
+    assert (disp < 0.03).all()
+
+
+def test_inertial_alignment_cost(ur10_config):
+    """With the alignment cost enabled the solver tilts the tray toward the
+    total acceleration: the alignment residual shrinks vs the plain solve."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from upright_tpu.solver.al import ALConfig, solve
+    from upright_tpu.solver.ocp import zeros_warm_start
+
+    conf = copy.deepcopy(ur10_config)
+    conf["controller"]["balancing"]["enabled"] = False
+    conf["controller"]["inertial_alignment"]["cost_enabled"] = True
+    conf["controller"]["inertial_alignment"]["cost_weight"] = 100.0
+    prob_align = build_problem(conf)
+
+    conf2 = copy.deepcopy(ur10_config)
+    conf2["controller"]["balancing"]["enabled"] = False
+    prob_plain = build_problem(conf2)
+
+    al = ALConfig(iterations=10)
+
+    def align_err(prob, sol):
+        from upright_tpu.core.math import plane_span
+
+        S = jnp.asarray(np.asarray(plane_span(jnp.array([0.0, 0, 1.0]))))
+        g = jnp.asarray([0.0, 0, -9.81])
+
+        def per_stage(x):
+            ee = prob.robot.ee_state(x)
+            return jnp.linalg.norm(S @ (ee.C_we.T @ (ee.a_ew_w - g))) / 9.81
+
+        return float(jnp.mean(jax.vmap(per_stage)(sol.state.X)))
+
+    sol_a = solve(prob_align.ocp, al, prob_align.stage_params(0.0), prob_align.x0,
+                  zeros_warm_start(prob_align.ocp, prob_align.x0))
+    sol_p = solve(prob_plain.ocp, al, prob_plain.stage_params(0.0), prob_plain.x0,
+                  zeros_warm_start(prob_plain.ocp, prob_plain.x0))
+    assert align_err(prob_align, sol_a) < align_err(prob_plain, sol_p)
+
+
+def test_inertial_alignment_constraint(ur10_config):
+    """Constraint form adds 5 inequality rows."""
+    import copy
+
+    conf = copy.deepcopy(ur10_config)
+    conf["controller"]["inertial_alignment"]["constraint_enabled"] = True
+    conf["controller"]["inertial_alignment"]["alpha"] = 0.2
+    prob_c = build_problem(conf)
+    prob_p = build_problem(ur10_config)
+    assert prob_c.ocp.n_ineq - prob_p.ocp.n_ineq == 5
+
+
+def test_ee_box_constraint_rows(ur10_config):
+    import copy
+
+    conf = copy.deepcopy(ur10_config)
+    conf["controller"]["end_effector_box_constraint"]["enabled"] = True
+    prob_c = build_problem(conf)
+    prob_p = build_problem(ur10_config)
+    assert prob_c.ocp.n_ineq - prob_p.ocp.n_ineq == 6
+
+
+def test_data_logger_and_plotter(tmp_path, ur10_config):
+    from upright_tpu.core.logging import DataLogger, DataPlotter
+
+    logger = DataLogger(timestep=0.1)
+    for i in range(20):
+        t = i * 0.05
+        if logger.ready(t):
+            logger.append_dict(
+                {"t": t, "x": np.zeros(18), "u": np.zeros(10), "r_ew_w": np.zeros(3),
+                 "solve_time": 0.001}
+            )
+    out = logger.save(tmp_path, config=ur10_config, name="run")
+    assert (out / "data.npz").exists()
+    assert (out / "config.yaml").exists()
+    data = DataLogger.load(out)
+    assert data["t"].shape[0] == 10
+
+    plotter = DataPlotter(data)
+    fig = plotter.plot_all(path=tmp_path / "plots.png")
+    assert (tmp_path / "plots.png").exists()
