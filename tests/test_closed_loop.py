@@ -182,3 +182,31 @@ def test_data_logger_and_plotter(tmp_path, ur10_config):
     plotter = DataPlotter(data)
     fig = plotter.plot_all(path=tmp_path / "plots.png")
     assert (tmp_path / "plots.png").exists()
+
+
+def test_nonholonomic_rolling_constraint(thing_config):
+    """Unicycle base as an equality constraint: solves produce near-zero
+    lateral base velocity."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from upright_tpu.solver.al import ALConfig, solve
+    from upright_tpu.solver.ocp import zeros_warm_start
+
+    conf = copy.deepcopy(thing_config)
+    conf["controller"]["robot"]["base_type"] = "nonholonomic"
+    prob = build_problem(conf)
+    assert prob.ocp.n_eq == 6 + 2  # balance + rolling rows
+
+    al = ALConfig(iterations=15, rho_eq=50.0)
+    sol = solve(prob.ocp, al, prob.stage_params(0.0), prob.x0,
+                zeros_warm_start(prob.ocp, prob.x0))
+
+    def lateral_speed(x):
+        yaw = x[2]
+        return -jnp.sin(yaw) * x[9] + jnp.cos(yaw) * x[10]
+
+    lat = jax.vmap(lateral_speed)(sol.state.X)
+    assert float(jnp.abs(lat).max()) < 0.05

@@ -176,6 +176,13 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
 
     robot_step = _triple_integrator_step(nq, dt)
     obs_step = _obstacle_step(dt)
+    base_type = robot_conf.get("base_type", "omnidirectional").lower()
+    # Nonholonomic (unicycle) bases keep the exact linear triple-integrator
+    # dynamics; the rolling constraint (zero lateral base velocity) enters as
+    # an equality constraint handled by the AL solver — XLA-friendlier than
+    # the reference's nonlinear flowmap (system_dynamics.h:42-63, unused in
+    # its demos).
+    nonholonomic = base_type == "nonholonomic"
 
     def dynamics(x, u, p):
         q, v, a = x[:nq], x[nq : 2 * nq], x[2 * nq : 3 * nq]
@@ -276,8 +283,22 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         return stage_quad(x, u, p) + 0.5 * r @ W @ r
 
     # -- equality constraints: object dynamics ---------------------------
+    def _rolling_rows(x):
+        # zero lateral velocity and acceleration of the unicycle base:
+        # [-sin(yaw), cos(yaw)] . (vx, vy) = 0 (and the same for ax, ay)
+        yaw = x[2]
+        s_, c_ = jnp.sin(yaw), jnp.cos(yaw)
+        v_lat = -s_ * x[nq + 0] + c_ * x[nq + 1]
+        a_lat = -s_ * x[2 * nq + 0] + c_ * x[2 * nq + 1]
+        return jnp.stack([v_lat, a_lat])
+
     def eq(x, u, p):
+        rows = []
+        if nonholonomic:
+            rows.append(_rolling_rows(x))
         if n_obj == 0:
+            if rows:
+                return jnp.concatenate(rows)
             return jnp.zeros((0,))
         forces_flat = u[nq:]
         scen = model.replace(params=p["obj_params"])
@@ -286,9 +307,10 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         else:
             forces = forces_flat.reshape(nc, 3)
         ee = ee_state_of(x)
-        return bal.object_dynamics_constraints(scen, forces, ee, gravity)
+        rows.append(bal.object_dynamics_constraints(scen, forces, ee, gravity))
+        return jnp.concatenate(rows)
 
-    n_eq = 6 * n_obj
+    n_eq = 6 * n_obj + (2 if nonholonomic else 0)
 
     # -- inequality constraints -----------------------------------------
     ee_box_conf = ctrl.get("end_effector_box_constraint", {"enabled": False})
