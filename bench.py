@@ -36,10 +36,19 @@ def main():
     config = cfg.load_config(path)
     prob = build_problem(config)
 
-    al_cfg = ALConfig(iterations=1, rho_eq=10.0, rho_ineq=10.0)
-    solve = batch_solve_fn(prob.ocp, al_cfg)
+    import os
 
-    BATCH = int(__import__("os").environ.get("BENCH_BATCH", 512))
+    ls_n = int(os.environ.get("BENCH_LS", 4))
+    default_ls = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001)
+    al_cfg = ALConfig(
+        iterations=1, rho_eq=10.0, rho_ineq=10.0,
+        line_search_steps=default_ls[:ls_n],
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", 1)),
+    )
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    solve = batch_solve_fn(prob.ocp, al_cfg, donate_state=donate)
+
+    BATCH = int(os.environ.get("BENCH_BATCH", 512))
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(
         np.asarray(prob.x0)[None, :]

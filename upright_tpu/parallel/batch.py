@@ -36,13 +36,17 @@ def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(axis_sizes.keys()))
 
 
-def batch_solve_fn(ocp: OCP, cfg: ALConfig):
+def batch_solve_fn(ocp: OCP, cfg: ALConfig, donate_state: bool = False):
     """Jitted batched solver: (params_batched, x0s, states) -> Solution batch.
 
     All leaves of params must carry the leading batch axis; use
-    `broadcast_params` to lift shared parameters.
+    `broadcast_params` to lift shared parameters.  With donate_state=True the
+    warm-start buffers are donated (the steady-state MPC loop overwrites them
+    anyway), saving HBM traffic.
     """
     vsolve = jax.vmap(lambda p, x, s: solve(ocp, cfg, p, x, s))
+    if donate_state:
+        return jax.jit(vsolve, donate_argnums=(2,))
     return jax.jit(vsolve)
 
 

@@ -43,6 +43,7 @@ class ALConfig:
     )
     mu_max: float = 1e6  # inequality-multiplier safeguard
     update_multipliers: bool = True  # AL dual update at end of solve
+    scan_unroll: int = 1  # lax.scan unroll factor (horizon loops)
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +193,8 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
         return (P_new, p_new), (K, kff)
 
     (P0, p0), (K, kff) = jax.lax.scan(
-        step, (Hf, gf), (A, B, d, grads, hess), reverse=True
+        step, (Hf, gf), (A, B, d, grads, hess), reverse=True,
+        unroll=cfg.scan_unroll,
     )
     return K, kff
 
@@ -202,7 +204,7 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
 # ---------------------------------------------------------------------------
 
 
-def _rollout(ocp: OCP, X_ref, U_ref, K, kff, alpha, x0, p_stage):
+def _rollout(ocp: OCP, X_ref, U_ref, K, kff, alpha, x0, p_stage, unroll=1):
     def step(x, inp):
         x_r, u_r, K_k, k_k, p_k = inp
         u = u_r + alpha * k_k + K_k @ (x - x_r)
@@ -213,7 +215,7 @@ def _rollout(ocp: OCP, X_ref, U_ref, K, kff, alpha, x0, p_stage):
         return x_next, (x, u)
 
     x_last, (Xs, Us) = jax.lax.scan(
-        step, x0, (X_ref[:-1], U_ref, K, kff, p_stage)
+        step, x0, (X_ref[:-1], U_ref, K, kff, p_stage), unroll=unroll
     )
     X = jnp.concatenate([Xs, x_last[None]], axis=0)
     return X, Us
@@ -269,7 +271,8 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         alphas = jnp.asarray(cfg.line_search_steps)
 
         def try_alpha(alpha):
-            Xa, Ua = _rollout(ocp, X, U, K, kff, alpha, x0, p_stage)
+            Xa, Ua = _rollout(ocp, X, U, K, kff, alpha, x0, p_stage,
+                              unroll=cfg.scan_unroll)
             m = _merit(ocp, cfg, Xa, Ua, p_stage, p_final, lam, mu, lam_f)
             return m, Xa, Ua
 
