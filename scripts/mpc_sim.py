@@ -22,6 +22,9 @@ from upright_tpu.solver.mpc import ControllerManager
 
 def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=False):
     """Run the closed loop; returns (sim, state, controller, logger)."""
+    from upright_tpu.runtime.projectile import ProjectileTracker
+    from upright_tpu.sim.obstacles import build_dynamic_obstacles
+
     sim_conf = config["simulation"]
     sim = UprightSimulation(sim_conf)
     ctrl = ControllerManager.from_config(config)
@@ -35,6 +38,15 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
     a_state = np.zeros(nq)  # controller's acceleration state (triple
     # integrator belief; reference mpc_sim.py:148-158)
 
+    # dynamic obstacles: sim-side ballistic balls + controller-side tracker
+    # (the "simulated Vicon" loop of mpc_sim_ros.py:108-109)
+    _, r_ee0 = sim.ee_pose(state)
+    dyn_obstacles = build_dynamic_obstacles(sim_conf, ee_position=r_ee0)
+    num_ctrl_obs = ctrl.problem.dims.num_obstacles
+    proj_tracker = (
+        ProjectileTracker(dt_ctrl) if (dyn_obstacles and num_ctrl_obs) else None
+    )
+
     logger = log if log is not None else DataLogger(timestep=0.05)
 
     t = 0.0
@@ -42,6 +54,22 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
     for i in range(steps):
         q_meas, v_meas = sim.measure(state)
         x = np.concatenate([np.asarray(q_meas), np.asarray(v_meas), a_state])
+
+        # feed obstacle estimates into the controller state tail + the
+        # target's projectile-activation flag (mrt_node.cpp:239-283)
+        if proj_tracker is not None:
+            obs_state, s_flag = proj_tracker.update(dyn_obstacles[0].position(t))
+            tails = [obs_state] + [np.zeros(9)] * (num_ctrl_obs - 1)
+            x = np.concatenate([x] + tails)
+            poses = np.asarray(ctrl.target.poses)
+            if poses[0, 7] != s_flag:
+                import jax.numpy as jnp
+
+                poses = poses.copy()
+                poses[:, 7] = s_flag
+                ctrl.target = ctrl.target.replace(poses=jnp.asarray(poses))
+        elif num_ctrl_obs:
+            x = np.concatenate([x] + [np.zeros(9)] * num_ctrl_obs)
         assert not np.isnan(x).any(), "NaN in controller state"
 
         xd, u = ctrl.step(t, x)
@@ -75,6 +103,7 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
             _, r_ew = sim.ee_pose(state)
             print(f"t={t:6.2f}s  r_ee={np.round(r_ew, 3)}")
 
+    run_closed_loop.last_obstacles = dyn_obstacles
     return sim, state, ctrl, logger
 
 

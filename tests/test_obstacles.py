@@ -119,3 +119,37 @@ def test_closed_loop_obstacle_avoidance(obstacle_config):
         sol.state.X[:-1], sol.state.U, params["stage"]
     )
     assert float(jnp.min(h[:, -36:])) > -0.05
+
+
+@pytest.mark.slow
+def test_closed_loop_projectile_dodge():
+    """A ball is thrown at the EE; the controller keeps the EE clear of the
+    predicted ballistic path while the bottle stays balanced."""
+    from mpc_sim import run_closed_loop
+
+    path = cfg.resolve_package_path(
+        {"package": "configs", "path": "demos/thing_projectile_demo.yaml"}
+    )
+    conf = cfg.load_config(path)
+    sim, state, ctrl, logger = run_closed_loop(conf, duration=3.0, ctrl_rate=50.0)
+    obstacles = run_closed_loop.last_obstacles
+    assert obstacles, "demo should create a dynamic obstacle"
+
+    # replay: minimum distance between EE and ball across the run must
+    # respect (roughly) the constraint distance
+    import upright_tpu.config as _c
+
+    # measure from the logger entries
+    data = logger.as_arrays()
+    ts = data["t"]
+    r_ee = data["r_ew_w"]
+    d_min = np.inf
+    for t, r in zip(ts, r_ee):
+        r_ball = obstacles[0].position(float(t))
+        d_min = min(d_min, float(np.linalg.norm(r - r_ball)))
+    # ball passes within throwing range but the EE keeps clearance
+    assert d_min > 0.25, f"EE got too close to the ball: {d_min:.3f} m"
+
+    # the bottle survived the dodge
+    disp = sim.object_displacements(state)
+    assert (disp < 0.05).all(), disp

@@ -84,6 +84,32 @@ class UprightProblem:
     gravity: jnp.ndarray
     config: dict
 
+    def heal_warm_start(self, state, x0):
+        """Re-propagate the autonomous (dynamic-obstacle) state components of
+        a warm-start trajectory from the new initial state.
+
+        Obstacles evolve independently of the controls, so their stored
+        trajectory goes stale between replans; stale components create large
+        dynamics defects that poison the line search."""
+        if self.dims.num_obstacles == 0:
+            return state
+        import jax
+
+        rx = self.dims.robot_x
+
+        def prop(tail, _):
+            new_tail = jnp.concatenate(
+                [_obstacle_step(self.dt)(tail[9 * i : 9 * (i + 1)])
+                 for i in range(self.dims.num_obstacles)]
+            )
+            return new_tail, new_tail
+
+        tail0 = jnp.asarray(x0)[rx:]
+        _, tails = jax.lax.scan(prop, tail0, None, length=self.ocp.N)
+        tails = jnp.concatenate([tail0[None], tails], axis=0)  # (N+1, 9*o)
+        X = state.X.at[:, rx:].set(tails)
+        return state.replace(X=X)
+
     def stage_params(self, t0, target: Optional[TargetTrajectory] = None,
                      balance_params=None):
         """Per-solve parameter pytree for solver.solve.

@@ -90,10 +90,20 @@ def projectile_kf(dt, gravity=(0, 0, -9.81), init_variance=1.0,
     # gravity enters as a known input
     B = np.vstack([0.5 * dt**2 * I3, dt * I3])
     H = np.hstack([I3, Z3])
+    # white-acceleration process model: noise drives the velocity states and
+    # couples into position through the dynamics (NOT independent noise per
+    # state, which would let position innovations bypass the velocity)
+    q = process_variance
+    Q = q * np.block(
+        [
+            [dt**3 / 3.0 * I3, dt**2 / 2.0 * I3],
+            [dt**2 / 2.0 * I3, dt * I3],
+        ]
+    )
     kf = KalmanFilter(
         x=np.zeros(6) if x0 is None else np.asarray(x0, dtype=float).copy(),
         P=init_variance * np.eye(6),
-        Q=process_variance * np.eye(6),
+        Q=Q,
         R=measurement_variance * np.eye(3),
         A=A,
         B=B,

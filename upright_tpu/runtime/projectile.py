@@ -33,18 +33,30 @@ class ProjectileTracker:
         default_factory=lambda: np.array([0.0, 0, -9.81])
     )
     nis_gate: float = 9.0  # reject outlier measurements
+    min_flight_speed: float = 0.5  # m/s; parked balls are not projectiles
+    process_variance: float = 100.0  # high gain: throws are sudden
+    measurement_variance: float = 1e-6  # Vicon-grade position measurements
+    reacquire_after: int = 3  # consecutive NIS rejections -> re-init track
 
     def __post_init__(self):
-        self.kf = projectile_kf(self.dt, self.gravity)
+        self.kf = projectile_kf(
+            self.dt, self.gravity,
+            process_variance=self.process_variance,
+            measurement_variance=self.measurement_variance,
+        )
         self.phase = FlightPhase.PREFLIGHT
         self._initialized = False
+        self._rejects = 0
 
     def update(self, r_measured=None):
         """One tick: KF predict (+ gated correct), then phase transitions.
 
         Returns (obstacle_state(9), s_flag)."""
         if self._initialized:
-            self.kf.predict(self.kf.gravity)
+            # gravity only acts once the ball is actually in flight; a held
+            # (pre-throw) ball is stationary
+            accel = self.kf.gravity if self.phase == FlightPhase.FLIGHT else np.zeros(3)
+            self.kf.predict(accel)
         if r_measured is not None:
             r_measured = np.asarray(r_measured, dtype=float)
             if not self._initialized:
@@ -52,11 +64,27 @@ class ProjectileTracker:
                 self._initialized = True
             elif self.kf.nis(r_measured) < self.nis_gate:
                 self.kf.correct(r_measured)
+                self._rejects = 0
+            else:
+                # outlier; after several consecutive rejections assume the
+                # track jumped (e.g. the throw) and re-acquire
+                self._rejects += 1
+                if self._rejects >= self.reacquire_after:
+                    self.kf.x[:3] = r_measured
+                    self.kf.x[3:] = 0.0
+                    self.kf.P = np.eye(6) * 10.0
+                    self._rejects = 0
 
         r, v = self.kf.x[:3], self.kf.x[3:]
 
         if self.phase == FlightPhase.PREFLIGHT:
-            if self._initialized and r[2] > self.activation_height:
+            # in flight = high enough AND actually moving (a parked ball above
+            # the activation height is not a projectile)
+            if (
+                self._initialized
+                and r[2] > self.activation_height
+                and np.linalg.norm(v) > self.min_flight_speed
+            ):
                 self.phase = FlightPhase.FLIGHT
         elif self.phase == FlightPhase.FLIGHT:
             if r[2] < self.deactivation_height:

@@ -44,6 +44,7 @@ class ALConfig:
     mu_max: float = 1e6  # inequality-multiplier safeguard
     update_multipliers: bool = True  # AL dual update at end of solve
     scan_unroll: int = 1  # lax.scan unroll factor (horizon loops)
+    defect_penalty: float = 100.0  # multiple-shooting merit weight on |f(x_k,u_k) - x_{k+1}|
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +226,14 @@ def _merit(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu, lam_f):
     stage = jax.vmap(
         lambda x, u, p, l, m: _al_stage_cost(ocp, cfg, x, u, p, l, m)
     )(X[:-1], U, p_stage, lam, mu)
-    return jnp.sum(stage) + _al_final_cost(ocp, cfg, X[-1], p_final, lam_f)
+    total = jnp.sum(stage) + _al_final_cost(ocp, cfg, X[-1], p_final, lam_f)
+    if cfg.defect_penalty > 0:
+        # multiple-shooting merit: penalize dynamics defects so a stale
+        # (defect-carrying) reference trajectory cannot out-score consistent
+        # rollouts (which are defect-free by construction)
+        f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
+        total = total + cfg.defect_penalty * jnp.sum(jnp.abs(f_next - X[1:]))
+    return total
 
 
 # ---------------------------------------------------------------------------
