@@ -10,6 +10,10 @@ Usage: python scripts/mpc_sim.py --config configs/demos/ur10_demo.yaml
 """
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np
