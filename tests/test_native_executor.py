@@ -110,3 +110,52 @@ def test_policy_switch_counting():
         ex.tick(i * 0.01)
     assert ex.stats()["policy_switches"] == 5
     ex.close()
+
+
+def test_executor_closed_loop_with_sim():
+    """Full pipeline: JAX planner posts policies to the native executor, the
+    executor (sim-time ticks) produces velocity commands driving the JAX
+    plant — the native equivalent of the mpc_node/mrt_node split."""
+    import upright_tpu.config as cfg
+    from upright_tpu.sim.simulation import UprightSimulation
+    from upright_tpu.solver.mpc import ControllerManager
+
+    path = cfg.resolve_package_path({"package": "configs", "path": "demos/ur10_demo.yaml"})
+    conf = cfg.load_config(path)
+    sim = UprightSimulation(conf["simulation"])
+    ctrl = ControllerManager.from_config(conf)
+    nq = sim.robot.nq
+
+    state = sim.initial_state()
+    x0 = np.concatenate([np.asarray(state.q), np.zeros(2 * nq)])
+    ex = NativeExecutor(nq, rate=125.0, kf_meas_var=1e-6, x0=x0)
+
+    replan_every = 5  # planner at 25 Hz, tracker at 125 Hz
+    dt = 1.0 / 125.0
+    t = 0.0
+    for i in range(250):  # 2 seconds
+        ex.post_observation(t, np.asarray(state.q), np.asarray(state.v))
+        if i % replan_every == 0:
+            x_est = ex.state_estimate()
+            ctrl.step(t, x_est)  # replan from the executor's estimate
+            sol = ctrl.solution
+            ex.post_policy(
+                ctrl.last_plan_time, ctrl.problem.dt,
+                np.asarray(sol.state.X)[:, : 3 * nq],
+                np.asarray(sol.state.U)[:, :nq],
+                np.asarray(sol.K)[:, :nq, : 3 * nq],
+            )
+        ex.tick(t)
+        v_cmd, _ = ex.get_command()
+        state = sim.step(state, v_cmd, n_steps=8)
+        t += dt
+
+    assert not ex.braked
+    # EE converged toward the waypoint
+    target = np.asarray(ctrl.target.poses[0, :3])
+    _, r_ew = sim.ee_pose(state)
+    err = float(np.linalg.norm(r_ew - target))
+    assert err < 0.15, f"EE error {err:.3f}"
+    # bottle stayed balanced
+    disp = sim.object_displacements(state)
+    assert (disp < 0.05).all()
