@@ -88,11 +88,16 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
 
         if logger.ready(t):
             R_we, r_ew = sim.ee_pose(state)
+            cons = ctrl.problem.evaluate_constraints(x, u, t, ctrl.target)
             entry = {
                 "t": t,
                 "x": x,
                 "u": np.asarray(u),
                 "r_ew_w": r_ew,
+                "constraint_eq": np.asarray(cons["equality"]),
+                "constraint_ineq_min": float(np.min(np.asarray(cons["inequality"])))
+                if cons["inequality"].shape[0]
+                else 0.0,
                 "solve_time": ctrl.replanning_durations[-1]
                 if ctrl.replanning_durations
                 else 0.0,

@@ -144,3 +144,43 @@ def test_policy_evaluation_and_tracker_tick():
     v_cmd, _, _ = trk2.tick(0.0, 5 * np.ones(nq), np.zeros(nq), pol)
     assert trk2.braked
     assert np.allclose(v_cmd, 0.0)
+
+
+def test_trajectory_toolkit(tmp_path):
+    from upright_tpu.solver.trajectory import (
+        DoubleIntegrator,
+        QuinticInterpolator,
+        StateInputMapping,
+        StateInputTrajectory,
+        TrajectoryInterpolator,
+        linear_interpolate,
+    )
+
+    di = DoubleIntegrator(2)
+    v, a = di.step(np.zeros(2), np.ones(2), np.zeros(2), 0.1)
+    assert np.allclose(v, 0.1) and np.allclose(a, 1.0)
+
+    ts = np.linspace(0, 1, 11)
+    xs = np.stack([np.full(6, t) for t in ts])
+    us = np.zeros((10, 2))
+    traj = StateInputTrajectory(ts=ts, xs=xs, us=us)
+    traj.save(tmp_path / "plan.npz")
+    loaded = StateInputTrajectory.load(tmp_path / "plan.npz")
+    assert np.allclose(loaded.xs, xs)
+
+    interp = TrajectoryInterpolator(loaded, nq=2)
+    x, u = interp.interpolate(0.55)
+    assert np.allclose(x, 0.55, atol=1e-9)
+
+    m = StateInputMapping(2)
+    q, v, a = m.xva(np.arange(6.0))
+    assert np.allclose(q, [0, 1]) and np.allclose(a, [4, 5])
+
+    # quintic hits its boundary conditions
+    quin = QuinticInterpolator(0, 1, [0.0], [0.0], [0.0], [1.0], [0.0], [0.0])
+    p0, v0, a0 = quin.eval(0.0)
+    p1, v1, a1 = quin.eval(1.0)
+    assert np.isclose(p0[0], 0) and np.isclose(p1[0], 1)
+    assert np.isclose(v1[0], 0, atol=1e-9) and np.isclose(a1[0], 0, atol=1e-8)
+    pm, _, _ = quin.eval(0.5)
+    assert np.isclose(pm[0], 0.5)

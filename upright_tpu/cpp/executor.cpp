@@ -252,6 +252,7 @@ struct Executor {
 
     std::atomic<bool> running{false};
     std::atomic<bool> braked{false};
+    double time_offset = 0;  // maps CLOCK_MONOTONIC to the caller's clock
     std::atomic<uint64_t> ticks{0};
     std::atomic<uint64_t> overruns{0};
     std::atomic<uint64_t> policy_switches{0};
@@ -353,7 +354,7 @@ struct Executor {
         const long period_ns = (long)(period * 1e9);
         while (running.load(std::memory_order_acquire)) {
             const double t0 = now_seconds();
-            tick(t0);
+            tick(t0 + time_offset);
             const double elapsed = now_seconds() - t0;
             if (elapsed > max_tick_seconds) max_tick_seconds = elapsed;
             if (elapsed > 1.5 * period)  // mrt_node.cpp:212-214
@@ -447,6 +448,14 @@ void upright_executor_start(void* h) {
     bool expected = false;
     if (ex->running.compare_exchange_strong(expected, true))
         ex->thread = std::thread([ex] { ex->run(); });
+}
+
+void upright_executor_start_at(void* h, double t_now) {
+    // align the executor's clock: monotonic 'now' corresponds to t_now on the
+    // caller's timeline (policies/observations are stamped in that timeline)
+    auto* ex = static_cast<Executor*>(h);
+    ex->time_offset = t_now - Executor::now_seconds();
+    upright_executor_start(h);
 }
 
 void upright_executor_stop(void* h) {

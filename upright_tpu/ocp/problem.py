@@ -84,6 +84,19 @@ class UprightProblem:
     gravity: jnp.ndarray
     config: dict
 
+    def evaluate_constraints(self, x, u, t=0.0, target=None):
+        """Diagnostic evaluation of all constraint groups at one (x, u, t)
+        — the reference logs these per named constraint through the pybind
+        interface (controller_python_interface.h:31-88, mpc_sim.py:190-248)."""
+        params = self.stage_params(t, target)
+        p0 = {k: v[0] for k, v in params["stage"].items()}
+        r, W = self.ocp.stage_residuals(jnp.asarray(x), jnp.asarray(u), p0)
+        return {
+            "equality": self.ocp.eq(jnp.asarray(x), jnp.asarray(u), p0),
+            "inequality": self.ocp.ineq(jnp.asarray(x), jnp.asarray(u), p0),
+            "ee_pose_error": r[:6],
+        }
+
     def heal_warm_start(self, state, x0):
         """Re-propagate the autonomous (dynamic-obstacle) state components of
         a warm-start trajectory from the new initial state.

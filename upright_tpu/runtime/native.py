@@ -42,6 +42,7 @@ def _load():
     lib.upright_executor_get_command.restype = ctypes.c_int
     lib.upright_executor_get_state_estimate.argtypes = [ctypes.c_void_p, dp]
     lib.upright_executor_start.argtypes = [ctypes.c_void_p]
+    lib.upright_executor_start_at.argtypes = [ctypes.c_void_p, d]
     lib.upright_executor_stop.argtypes = [ctypes.c_void_p]
     lib.upright_executor_tick.argtypes = [ctypes.c_void_p, d]
     lib.upright_executor_braked.argtypes = [ctypes.c_void_p]
@@ -130,8 +131,11 @@ class NativeExecutor:
         """One explicit (sim-time) tick without the real-time thread."""
         self._lib.upright_executor_tick(self._h, float(t))
 
-    def start(self):
-        self._lib.upright_executor_start(self._h)
+    def start(self, t_now=None):
+        if t_now is None:
+            self._lib.upright_executor_start(self._h)
+        else:
+            self._lib.upright_executor_start_at(self._h, float(t_now))
 
     def stop(self):
         self._lib.upright_executor_stop(self._h)

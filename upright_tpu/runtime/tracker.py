@@ -131,6 +131,7 @@ class AsyncPlanner:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self.error: Optional[Exception] = None
 
     # -- observation in / policy out ------------------------------------
 
@@ -186,7 +187,12 @@ class AsyncPlanner:
             if now - last < self.min_update_time:
                 time.sleep(self.min_update_time / 10)
                 continue
-            if self.solve_once():
+            try:
+                solved = self.solve_once()
+            except Exception as exc:  # surface planner faults to the caller
+                self.error = exc
+                break
+            if solved:
                 last = time.perf_counter()
             else:
                 time.sleep(1e-3)
@@ -198,4 +204,6 @@ class AsyncPlanner:
     def stop(self):
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5.0)
+            # a solve may be in flight; wait generously so the interpreter
+            # never tears down a thread inside the runtime
+            self._thread.join(timeout=60.0)

@@ -109,6 +109,7 @@ class UprightSimulation:
         self.k_contact = float(sim_config.get("contact_stiffness", 3.0e4))
         self.c_contact = float(sim_config.get("contact_damping", 200.0))
         self.v_slip = float(sim_config.get("friction_regularization", 1e-3))
+        self.max_contact_force = float(sim_config.get("max_contact_force", 500.0))
 
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
@@ -251,6 +252,9 @@ class UprightSimulation:
                 f_n_mag = jnp.maximum(
                     0.0, self.k_contact * delta - self.c_contact * v_n
                 )
+                # clamp for numerical robustness under violent commands
+                # (deep penetration -> bounded force, not exploding stiffness)
+                f_n_mag = jnp.minimum(f_n_mag, self.max_contact_force)
                 f_n_mag = jnp.where(in_contact, f_n_mag, 0.0)
                 f_n = f_n_mag * n_w
 
