@@ -508,6 +508,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         stage_residuals=stage_residuals, stage_quad=stage_quad,
         final_quad=final_quad,
         u_lb=u_lb, u_ub=u_ub,
+        linear_dynamics=False,
     )
 
     # -- initial state + target -----------------------------------------

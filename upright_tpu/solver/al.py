@@ -79,49 +79,81 @@ def _al_final_cost(ocp: OCP, cfg: ALConfig, x, p_f, lam_f):
 
 
 def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
-    """Gradient and GN Hessian of the AL stage cost w.r.t. z = (x, u)."""
+    """Gradient and GN Hessian of the AL stage cost w.r.t. z = (x, u).
+
+    Fast path (when the GN decomposition is available): ONE jacfwd of the
+    stacked [residuals; eq; ineq] vector — the three constraint families
+    share the kinematic-chain JVPs — and the gradient is assembled
+    analytically from the same Jacobian (no separate jax.grad pass).
+    """
     nx, nu = ocp.nx, ocp.nu
-
-    def L(z):
-        return _al_stage_cost(ocp, cfg, z[:nx], z[nx:], p, lam, mu)
-
     z = jnp.concatenate([x, u])
-    grad = jax.grad(L)(z)
 
-    # GN Hessian assembled from residual Jacobians
-    if ocp.stage_quad is not None:
-        def quad(z):
-            return ocp.stage_quad(z[:nx], z[nx:], p)
+    if ocp.stage_residuals is not None and ocp.stage_quad is not None:
+        def quad(z_):
+            return ocp.stage_quad(z_[:nx], z_[nx:], p)
 
         H = jax.hessian(quad)(z)
-    else:
-        def base(z):
-            return ocp.stage_cost(z[:nx], z[nx:], p)
+        grad = jax.grad(quad)(z)
 
-        H = jax.hessian(base)(z)
+        n_r = None
 
-    if ocp.stage_residuals is not None:
-        def res(z):
-            return ocp.stage_residuals(z[:nx], z[nx:], p)[0]
+        def stacked(z_):
+            parts = [ocp.stage_residuals(z_[:nx], z_[nx:], p)[0]]
+            if ocp.n_eq > 0:
+                parts.append(ocp.eq(z_[:nx], z_[nx:], p))
+            if ocp.n_ineq > 0:
+                parts.append(ocp.ineq(z_[:nx], z_[nx:], p))
+            return jnp.concatenate(parts)
+
+        vals = stacked(z)
+        J = jax.jacfwd(stacked)(z)
 
         r, W = ocp.stage_residuals(x, u, p)
-        J = jax.jacfwd(res)(z)
+        n_r = r.shape[0]
+        J_r = J[:n_r]
+        grad = grad + J_r.T @ (W @ r)
+        H = H + J_r.T @ (W @ J_r)
+
+        off = n_r
+        if ocp.n_eq > 0:
+            g = vals[off : off + ocp.n_eq]
+            J_g = J[off : off + ocp.n_eq]
+            grad = grad + J_g.T @ (lam + cfg.rho_eq * g)
+            H = H + cfg.rho_eq * J_g.T @ J_g
+            off += ocp.n_eq
+        if ocp.n_ineq > 0:
+            h = vals[off:]
+            J_h = J[off:]
+            psi = jnp.maximum(0.0, mu / cfg.rho_ineq - h)
+            grad = grad - cfg.rho_ineq * J_h.T @ psi
+            active = psi > 0.0
+            J_h_active = J_h * active[:, None]
+            H = H + cfg.rho_ineq * J_h_active.T @ J_h_active
+        return grad, H
+
+    # generic fallback
+    def L(z_):
+        return _al_stage_cost(ocp, cfg, z_[:nx], z_[nx:], p, lam, mu)
+
+    grad = jax.grad(L)(z)
+
+    if ocp.stage_quad is not None:
+        H = jax.hessian(lambda z_: ocp.stage_quad(z_[:nx], z_[nx:], p))(z)
+    else:
+        H = jax.hessian(lambda z_: ocp.stage_cost(z_[:nx], z_[nx:], p))(z)
+
+    if ocp.stage_residuals is not None:
+        r, W = ocp.stage_residuals(x, u, p)
+        J = jax.jacfwd(lambda z_: ocp.stage_residuals(z_[:nx], z_[nx:], p)[0])(z)
         H = H + J.T @ (W @ J)
-
     if ocp.n_eq > 0:
-        def eqz(z):
-            return ocp.eq(z[:nx], z[nx:], p)
-
-        Jg = jax.jacfwd(eqz)(z)
+        Jg = jax.jacfwd(lambda z_: ocp.eq(z_[:nx], z_[nx:], p))(z)
         H = H + cfg.rho_eq * Jg.T @ Jg
-
     if ocp.n_ineq > 0:
-        def inz(z):
-            return ocp.ineq(z[:nx], z[nx:], p)
-
         h = ocp.ineq(x, u, p)
         active = (mu / cfg.rho_ineq - h) > 0.0
-        Jh = jax.jacfwd(inz)(z)
+        Jh = jax.jacfwd(lambda z_: ocp.ineq(z_[:nx], z_[nx:], p))(z)
         Jh_active = Jh * active[:, None]
         H = H + cfg.rho_ineq * Jh_active.T @ Jh_active
 
@@ -262,7 +294,14 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
             B = jax.jacfwd(lambda u_: ocp.dynamics(x, u_, p))(u)
             return A, B
 
-        A, B = jax.vmap(lin_dyn)(X[:-1], U, p_stage)
+        if ocp.linear_dynamics:
+            # A, B are state-independent: linearize once at a reference
+            # point and broadcast (trace-time constants)
+            A0, B0 = lin_dyn(X[0], U[0], jax.tree.map(lambda v: v[0], p_stage))
+            A = jnp.broadcast_to(A0, (ocp.N,) + A0.shape)
+            B = jnp.broadcast_to(B0, (ocp.N,) + B0.shape)
+        else:
+            A, B = jax.vmap(lin_dyn)(X[:-1], U, p_stage)
         f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
         d = f_next - X[1:]
 

@@ -62,6 +62,11 @@ class OCP:
     u_lb: Optional[Any] = None
     u_ub: Optional[Any] = None
 
+    # dynamics are linear in (x, u): A, B are computed once at trace time
+    # instead of re-linearized per stage/instance/iteration (true for the
+    # triple-integrator + constant-acceleration-obstacle system)
+    linear_dynamics: bool = False
+
 
 def zeros_warm_start(ocp: OCP, x0):
     """Cold-start trajectories: hold x0, zero inputs and multipliers."""
