@@ -210,3 +210,27 @@ def test_nonholonomic_rolling_constraint(thing_config):
 
     lat = jax.vmap(lateral_speed)(sol.state.X)
     assert float(jnp.abs(lat).max()) < 0.05
+
+
+@pytest.mark.slow
+def test_closed_loop_stacked_dice(ur10_config):
+    """Two stacked foam dice: 12 equality rows (2 objects), object-on-object
+    contact in the plant; both dice must arrive with the tray."""
+    import copy
+
+    from mpc_sim import run_closed_loop
+
+    conf = copy.deepcopy(ur10_config)
+    conf["simulation"]["arrangement"] = "foam_die2"
+    conf["controller"]["balancing"]["arrangement"] = "foam_die2"
+
+    sim, state, ctrl, logger = run_closed_loop(conf, duration=4.0, ctrl_rate=50.0)
+    assert ctrl.problem.ocp.n_eq == 12
+    assert sim.n_obj == 2
+
+    target_r = np.asarray(ctrl.problem.target.poses[0, :3])
+    _, r_ew = sim.ee_pose(state)
+    assert np.linalg.norm(r_ew - target_r) < 0.1
+
+    disp = sim.object_displacements(state)
+    assert (disp < 0.04).all(), f"dice slid: {disp}"

@@ -110,6 +110,18 @@ class UprightSimulation:
         self.c_contact = float(sim_config.get("contact_damping", 200.0))
         self.v_slip = float(sim_config.get("friction_regularization", 1e-3))
         self.max_contact_force = float(sim_config.get("max_contact_force", 500.0))
+        # internal substeps for the object dynamics: explicit integration of
+        # the penalty contacts needs dt_obj * omega well below 1 for the
+        # stiffest (lightest-object) coupled mode; auto-derive from the
+        # lightest object unless overridden
+        if "object_substeps" in sim_config:
+            self.object_substeps = int(sim_config["object_substeps"])
+        elif self.specs:
+            m_min = min(sp.mass for sp in self.specs)
+            omega = np.sqrt(self.k_contact / m_min)
+            self.object_substeps = int(np.clip(np.ceil(self.timestep * omega * 4.0 / 0.3), 1, 32))
+        else:
+            self.object_substeps = 1
 
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
@@ -192,7 +204,12 @@ class UprightSimulation:
             v_new = cmd_vel
 
             if self.n_obj:
-                obj_new = self._object_substep(s, dt, params)
+                dt_obj = dt / self.object_substeps
+                s_obj = s
+                for _ in range(self.object_substeps):
+                    obj_new = self._object_substep(s_obj, dt_obj, params)
+                    s_obj = s_obj.replace(objects=obj_new)
+                obj_new = s_obj.objects
             else:
                 obj_new = s.objects
             return SimState(t=s.t + dt, q=q_new, v=v_new, objects=obj_new), None
@@ -213,10 +230,25 @@ class UprightSimulation:
 
         forces = []
         torques = []
+        # reaction accumulators for object-on-object contacts (Newton's third
+        # law: the supporting object feels the opposite contact force)
+        reaction_f = [jnp.zeros(3) for _ in range(self.n_obj)]
+        reaction_tau = [jnp.zeros(3) for _ in range(self.n_obj)]
         for i, spec in enumerate(self.specs):
             R_i = quat_to_rot(q[i])
             f_tot = params["mass"][i] * jnp.asarray(self.gravity)
             tau_tot = jnp.zeros(3)
+
+            # stability-limited per-object contact gains: explicit integration
+            # requires dt*sqrt(k/m) and dt*c/m bounded, so light objects get
+            # proportionally softer springs/dampers (same restitution feel)
+            m_i = params["mass"][i]
+            omega_max = 0.3 / dt
+            k_i = jnp.minimum(self.k_contact, m_i * omega_max**2)
+            c_i = jnp.minimum(
+                jnp.minimum(self.c_contact, 2.0 * jnp.sqrt(k_i * m_i)),
+                0.3 * m_i / dt,
+            )
 
             surf = spec.surface
             if surf.parent == -1:
@@ -249,25 +281,36 @@ class UprightSimulation:
                 v_n = jnp.dot(n_w, v_rel)
                 v_t = v_rel - v_n * n_w
 
-                f_n_mag = jnp.maximum(
-                    0.0, self.k_contact * delta - self.c_contact * v_n
-                )
+                f_n_mag = jnp.maximum(0.0, k_i * delta - c_i * v_n)
                 # clamp for numerical robustness under violent commands
                 # (deep penetration -> bounded force, not exploding stiffness)
                 f_n_mag = jnp.minimum(f_n_mag, self.max_contact_force)
                 f_n_mag = jnp.where(in_contact, f_n_mag, 0.0)
                 f_n = f_n_mag * n_w
 
-                # regularized Coulomb friction
+                # regularized Coulomb friction with a stability cap: the
+                # regularization acts as a viscous damper with gain
+                # mu f_n / (|v_t| + eps); for light objects that exceeds the
+                # explicit-integration limit, so clamp the effective gain
                 v_t_norm = jnp.linalg.norm(v_t) + self.v_slip
-                f_t = -params["mu"][i] * f_n_mag * v_t / v_t_norm
+                gain = params["mu"][i] * f_n_mag / v_t_norm
+                gain = jnp.minimum(gain, 0.3 * m_i / dt)
+                f_t = -gain * v_t
 
                 f_c = f_n + f_t
                 f_tot = f_tot + f_c
                 tau_tot = tau_tot + jnp.cross(p_w - r[i], f_c)
+                if surf.parent >= 0:
+                    j = surf.parent
+                    reaction_f[j] = reaction_f[j] - f_c
+                    reaction_tau[j] = reaction_tau[j] + jnp.cross(p_w - r[j], -f_c)
 
             forces.append(f_tot)
             torques.append(tau_tot)
+
+        for j in range(self.n_obj):
+            forces[j] = forces[j] + reaction_f[j]
+            torques[j] = torques[j] + reaction_tau[j]
 
         F = jnp.stack(forces)
         T = jnp.stack(torques)
