@@ -43,6 +43,9 @@ def main():
     parser.add_argument("--inertia-scales", nargs="*", type=float,
                         default=[0.5, 1.0, 2.0])
     parser.add_argument("--kp", type=float, default=10.0)
+    parser.add_argument("--parallel-scan", action="store_true",
+                        help="use the O(log N) associative-scan Riccati "
+                             "backward pass (long horizons)")
     args = parser.parse_args()
 
     config = cfg.load_config(args.config)
@@ -54,6 +57,7 @@ def main():
     prob, sol, plan = plan_robust(
         config, com_half_extents=com_boxes,
         duration=args.duration, iterations=args.iterations,
+        use_parallel_scan=args.parallel_scan,
     )
     print(f"  eq violation {float(sol.eq_viol):.2e}, "
           f"ineq violation {float(sol.ineq_viol):.2e}")

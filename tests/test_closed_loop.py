@@ -45,8 +45,9 @@ def test_single_solve(ur10_config):
     cfg_ = ALConfig(iterations=6, rho_eq=10.0, rho_ineq=10.0)
     sol = solve(prob.ocp, cfg_, params, prob.x0, zeros_warm_start(prob.ocp, prob.x0))
     assert np.isfinite(float(sol.cost))
-    # the solver should be making the balance residuals small
-    assert float(sol.eq_viol) < 0.5
+    # 6 cold iterations already bring the mass-normalized balance residuals
+    # well down (the converged gate lives in test_solve_quality.py)
+    assert float(sol.eq_viol) < 0.1
     # contact forces should be holding up the bottle: total normal force of
     # the first stage approximately equals the weight (0.827 kg)
     forces = np.asarray(sol.state.U[0, prob.dims.robot_u :])
@@ -72,8 +73,9 @@ def test_closed_loop_ur10(ur10_config):
     disp = sim.object_displacements(state)
     assert (disp < 0.03).all(), f"object slid: {disp}"
 
-    # solver stayed healthy
-    assert float(ctrl.solution.eq_viol) < 0.5
+    # solver stayed healthy: after 4 s of warm-started replans the balance
+    # equalities are satisfied to the BASELINE 1e-3 regime
+    assert float(ctrl.solution.eq_viol) < 1e-3
     assert np.isfinite(np.asarray(ctrl.solution.state.X)).all()
 
 

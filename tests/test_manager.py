@@ -1,0 +1,134 @@
+"""ControllerManager API tests: plan() unrolling, operating-point warm
+starts, and waypoint-orientation composition (VERDICT r1 item 4, ADVICE r1
+reference.py / mpc.py findings)."""
+
+import numpy as np
+import pytest
+
+import upright_tpu.config as cfg
+from upright_tpu.core.math import quat_to_rot
+from upright_tpu.ocp.reference import TargetTrajectory
+from upright_tpu.solver.mpc import ControllerManager, MPCSettings
+from upright_tpu.solver.trajectory import StateInputTrajectory
+
+
+@pytest.fixture(scope="module")
+def ur10_config():
+    path = cfg.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    return cfg.load_config(path)
+
+
+def test_waypoint_orientation_body_frame_composition():
+    """Reference wrappers.py composes waypoint orientations in the EE body
+    frame: R(q) = R(q0) @ R(q_rel)."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(3)
+    v = v / np.linalg.norm(v)
+    ang = 0.6
+    q0 = np.concatenate([np.sin(ang / 2) * v, [np.cos(ang / 2)]])
+    w = rng.standard_normal(3)
+    w = w / np.linalg.norm(w)
+    q_rel = np.concatenate([np.sin(0.5) * w, [np.cos(0.5)]])
+
+    tgt = TargetTrajectory.from_waypoints(
+        [{"time": 0.0, "position": [0, 0, 0], "orientation": q_rel.tolist()}],
+        r0=np.zeros(3), q0=q0,
+    )
+    R = np.asarray(quat_to_rot(tgt.poses[0, 3:7]))
+    R_expected = np.asarray(quat_to_rot(q0)) @ np.asarray(quat_to_rot(q_rel))
+    np.testing.assert_allclose(R, R_expected, atol=1e-12)
+
+
+def test_plan_default_settings(ur10_config):
+    """plan() with default settings (use_feedback_policy=True, no x0) must
+    not crash and must produce a finite feedforward trajectory that reaches
+    toward the waypoint (reference manager.py:186-209 round trip)."""
+    mgr = ControllerManager.from_config(ur10_config)
+    traj = mgr.plan(timestep=0.1, duration=2.0)
+    assert isinstance(traj, StateInputTrajectory)
+    assert len(traj) == 21
+    assert np.all(np.isfinite(traj.xs)) and np.all(np.isfinite(traj.us))
+    # the plan must move the EE toward the target
+    prob = mgr.problem
+    _, r_start = prob.robot.ee_pose(traj.xs[0][: prob.dims.robot_q])
+    _, r_end = prob.robot.ee_pose(traj.xs[-1][: prob.dims.robot_q])
+    rd = np.asarray(mgr.target.poses[0, :3])
+    assert np.linalg.norm(np.asarray(r_end) - rd) < np.linalg.norm(
+        np.asarray(r_start) - rd
+    )
+
+
+def test_plan_tracking_roundtrip(ur10_config, tmp_path):
+    """A saved plan round-trips through the offline P-control tracker."""
+    from upright_tpu.solver.trajectory import TrajectoryInterpolator
+
+    mgr = ControllerManager.from_config(ur10_config)
+    traj = mgr.plan(timestep=0.1, duration=2.0)
+    path = tmp_path / "plan.npz"
+    traj.save(path)
+    loaded = StateInputTrajectory.load(path)
+    interp = TrajectoryInterpolator(loaded, mgr.problem.dims.robot_q)
+    x_mid, u_mid = interp.interpolate(1.05)
+    assert np.all(np.isfinite(x_mid)) and np.all(np.isfinite(u_mid))
+    # interpolated state lies between the bracketing plan states
+    lo = np.minimum(loaded.xs[10], loaded.xs[11])
+    hi = np.maximum(loaded.xs[10], loaded.xs[11])
+    assert np.all(x_mid >= lo - 1e-9) and np.all(x_mid <= hi + 1e-9)
+
+
+def test_operating_point_warm_start(ur10_config, tmp_path):
+    """A saved plan used as operating points must give the first solve a
+    better starting point than the cold start (wrappers.py:289-296,
+    controller_interface.cpp:380-387)."""
+    mgr = ControllerManager.from_config(ur10_config)
+    sol_converged = mgr.warmstart()
+    traj = StateInputTrajectory(
+        ts=np.arange(mgr.problem.ocp.N + 1) * mgr.problem.dt,
+        xs=np.asarray(sol_converged.state.X),
+        us=np.concatenate(
+            [np.asarray(sol_converged.state.U), np.asarray(sol_converged.state.U[-1:])]
+        ),
+    )
+    path = tmp_path / "op.npz"
+    traj.save(path)
+
+    settings = MPCSettings(warmstart_iterations=1)
+    cold = ControllerManager(mgr.problem, settings)
+    sol_cold = cold.warmstart()
+
+    warm = ControllerManager(mgr.problem, settings)
+    warm.set_operating_points(StateInputTrajectory.load(path))
+    sol_warm = warm.warmstart()
+
+    # seeded from the converged plan the first solve starts closer to the
+    # converged solution than the cold start.  The edge is modest because
+    # the AL multipliers still cold-start (the reference's OperatingPoints
+    # initializer likewise carries only x/u, wrappers.py:289-296).
+    X_conv = np.asarray(sol_converged.state.X)
+    d_warm = np.abs(np.asarray(sol_warm.state.X) - X_conv).max()
+    d_cold = np.abs(np.asarray(sol_cold.state.X) - X_conv).max()
+    assert d_warm < 0.9 * d_cold, (d_warm, d_cold)
+    assert float(sol_warm.eq_viol) < 0.8 * float(sol_cold.eq_viol)
+
+
+def test_operating_points_from_config(ur10_config, tmp_path):
+    """The operating_points config block loads a saved plan at build time."""
+    import copy
+
+    mgr = ControllerManager.from_config(ur10_config)
+    traj = mgr.plan(timestep=0.1, duration=2.0)
+    path = tmp_path / "op_conf.npz"
+    traj.save(path)
+
+    config = copy.deepcopy(ur10_config)
+    config["controller"]["operating_points"] = {
+        "enabled": True, "path": str(path),
+    }
+    mgr2 = ControllerManager.from_config(config)
+    assert mgr2._operating_traj is not None
+    state = mgr2._initial_guess(0.0, mgr2.problem.x0)
+    np.testing.assert_allclose(
+        np.asarray(state.X[5]), traj.xs[5], atol=1e-9
+    )

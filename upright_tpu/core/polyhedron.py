@@ -177,73 +177,70 @@ class ConvexPolyhedron:
 # ---------------------------------------------------------------------------
 
 
-def line_segment_half_space_intersection(v1, v2, point, normal, tol=DEFAULT_TOLERANCE):
-    """Intersection of segment (v1, v2) with the plane of a half-space, or
-    None (polyhedron.py:284-313)."""
-    normal = np.asarray(normal, dtype=float)
-    normal = normal / np.linalg.norm(normal)
-    d1 = normal @ (v1 - point)
-    d2 = normal @ (v2 - point)
-    if abs(d1) < tol:
-        return v1
-    if abs(d2) < tol:
-        return v2
-    if (d1 < tol and d2 < tol) or (d1 > -tol and d2 > -tol):
-        return None
-    t = normal @ (point - v1) / (normal @ (v2 - v1))
-    assert 0 <= t <= 1
-    return v1 + t * (v2 - v1)
-
-
-def clip_line_segment_with_half_space(v1, v2, point, normal, tol=DEFAULT_TOLERANCE):
-    """Clip a segment against half-space {x : n.(x - p) >= 0}
-    (polyhedron.py:316-347)."""
-    normal = np.asarray(normal, dtype=float)
-    normal = normal / np.linalg.norm(normal)
-    d1 = normal @ (v1 - point)
-    d2 = normal @ (v2 - point)
-    if d1 >= -tol and d2 >= -tol:
-        return v1, v2
-    if d1 <= tol and d2 <= tol:
-        return ()
-    inter = line_segment_half_space_intersection(v1, v2, point, normal, tol=tol)
-    assert inter is not None
-    return (v1, inter) if d1 > 0 else (inter, v2)
+def _dedup_points(P, tol):
+    """Drop points that duplicate an earlier point (vectorized: lower-triangle
+    pairwise-distance mask, keep first occurrences)."""
+    if len(P) < 2:
+        return P
+    D = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=-1)
+    dup_of_earlier = (D < tol) & np.tri(len(P), k=-1, dtype=bool)
+    return P[~dup_of_earlier.any(axis=1)]
 
 
 def clip_polygon_with_half_space(V, point, normal, tol=DEFAULT_TOLERANCE):
-    """Clip CCW polygon ``V`` (n, 2) by a half-space; returns new vertices or
-    None if fully clipped (polyhedron.py:350-385)."""
-    V = np.asarray(V)
+    """Clip CCW polygon ``V`` (n, 2) by the half-space {x : n.(x - p) >= 0}.
+
+    One vectorized Sutherland-Hodgman pass: all vertex signed distances, all
+    edge crossings, and the interleaved emit order are computed with array
+    ops (functional replacement for the reference's per-edge loop,
+    polyhedron.py:350-385).  Returns the clipped vertices or None if the
+    polygon lies entirely outside.
+    """
+    V = np.asarray(V, dtype=float)
     assert V.shape[1] == 2
-    out = []
-    n = V.shape[0]
-    for i in range(n):
-        pieces = clip_line_segment_with_half_space(V[i], V[(i + 1) % n], point, normal, tol=tol)
-        out.extend(pieces)
-    if not out:
-        return None
-    # deduplicate while preserving order
-    uniq = []
-    for v in out:
-        if not any(np.linalg.norm(v - u) < tol for u in uniq):
-            uniq.append(v)
-    return np.array(uniq)
+    n = np.asarray(normal, dtype=float)
+    n = n / np.linalg.norm(n)
+
+    d = (V - point) @ n  # signed distance of every vertex
+    d_next = np.roll(d, -1)
+    V_next = np.roll(V, -1, axis=0)
+
+    # strict sign change across an edge (on-plane endpoints are emitted as
+    # vertices, not re-derived as intersections)
+    crossing = ((d > tol) & (d_next < -tol)) | ((d < -tol) & (d_next > tol))
+    denom = np.where(crossing, d - d_next, 1.0)
+    t = np.clip(d / denom, 0.0, 1.0)
+    inter = V + t[:, None] * (V_next - V)
+
+    # emit per edge: the start vertex if inside (within tol), then the
+    # crossing point if the edge crosses the plane
+    m = V.shape[0]
+    pts = np.empty((2 * m, 2))
+    keep = np.empty(2 * m, dtype=bool)
+    pts[0::2] = V
+    keep[0::2] = d >= -tol
+    pts[1::2] = inter
+    keep[1::2] = crossing
+    out = _dedup_points(pts[keep], tol)
+    return out if len(out) else None
 
 
 def clip_polygon_with_polygon(V1, V2, tol=DEFAULT_TOLERANCE):
-    """Intersection of convex CCW polygons V1 and V2 (polyhedron.py:388-417)."""
-    V1, V2 = np.asarray(V1), np.asarray(V2)
+    """Intersection of convex CCW polygons V1 and V2: fold the half-space
+    clip over V2's edge half-spaces, whose inward normals are computed in one
+    shot (polyhedron.py:388-417 equivalent)."""
+    V1, V2 = np.asarray(V1, dtype=float), np.asarray(V2, dtype=float)
     assert V1.shape[1] == 2 and V2.shape[1] == 2
+    edges = np.roll(V2, -1, axis=0) - V2  # (m, 2)
+    lengths = np.linalg.norm(edges, axis=1)
+    if (lengths < tol).any():
+        raise ValueError("Clipping polygon has repeated vertices.")
+    # inward normals of a CCW polygon: rotate each edge +90 degrees
+    inward = np.stack([-edges[:, 1], edges[:, 0]], axis=1) / lengths[:, None]
+
     V = V1
-    n = V2.shape[0]
-    for i in range(n):
-        p = V2[i]
-        edge = V2[(i + 1) % n] - p
-        mag = np.linalg.norm(edge)
-        if mag < tol:
-            raise ValueError("Clipping polygon has repeated vertices.")
-        V = clip_polygon_with_half_space(V, p, orth2d(edge / mag), tol=tol)
+    for p, n in zip(V2, inward):
+        V = clip_polygon_with_half_space(V, p, n, tol=tol)
         if V is None:
             return None
     return V

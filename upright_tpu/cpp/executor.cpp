@@ -102,8 +102,11 @@ struct Seqlock {
     template <typename F>
     void write(F&& fill) {
         const uint64_t s = seq.load(std::memory_order_relaxed);
-        seq.store(s + 1, std::memory_order_release);  // odd: write in progress
+        seq.store(s + 1, std::memory_order_relaxed);  // odd: write in progress
+        // order the data writes in fill() after the odd store
+        std::atomic_thread_fence(std::memory_order_release);
         fill();
+        // release store orders the data writes before the even store
         seq.store(s + 2, std::memory_order_release);
     }
 
@@ -113,7 +116,9 @@ struct Seqlock {
             const uint64_t s0 = seq.load(std::memory_order_acquire);
             if (s0 & 1) continue;
             copy();
-            const uint64_t s1 = seq.load(std::memory_order_acquire);
+            // order the data reads in copy() before the re-read of seq
+            std::atomic_thread_fence(std::memory_order_acquire);
+            const uint64_t s1 = seq.load(std::memory_order_relaxed);
             if (s0 == s1) return s0 != 0;
         }
         return false;
@@ -122,16 +127,27 @@ struct Seqlock {
 
 struct Observation {
     double t = 0;
-    Vec q, v;
+    Vec q, v;  // preallocated at create; only memcpy'd afterwards
 };
 
+// Fixed-capacity policy storage.  The backing vectors are sized ONCE at
+// create time and never resized afterwards, so concurrent reader memcpys can
+// never chase a reallocated data pointer; a seqlock per slot detects torn
+// copies and the two slots are alternated by the writer so the slot a reader
+// is copying from is not the one being overwritten by the next post.
 struct Policy {
     double t0 = 0;
     double dt = 0.1;
     int N = 0;
-    Mat X;  // (N+1, nx)
-    Mat U;  // (N, nu_robot)
-    Mat K;  // (N, nu_robot, nx)
+    Mat X;  // capacity (max_N+1, nx), valid rows N+1
+    Mat U;  // capacity (max_N, nq), valid rows N
+    Mat K;  // capacity (max_N, nq, nx), valid rows N
+
+    void alloc(int max_N, int nx, int nq) {
+        X.assign((size_t)(max_N + 1) * nx, 0.0);
+        U.assign((size_t)max_N * nq, 0.0);
+        K.assign((size_t)max_N * nq * nx, 0.0);
+    }
 };
 
 // ---------------------------------------------------------------------------
@@ -244,9 +260,14 @@ struct Executor {
 
     TrackerKF kf;
 
-    Seqlock obs_lock, pol_lock, cmd_lock;
+    static constexpr int kMaxPolicyN = 512;  // horizon capacity (N <= 512)
+
+    Seqlock obs_lock, cmd_lock;
     Observation obs_buf;
-    Policy pol_buf;
+    // double-buffered policy: writer alternates slots, publishes via pol_cur
+    Seqlock pol_slot_lock[2];
+    Policy pol_slot[2];
+    std::atomic<int> pol_cur{-1};
     Vec cmd_buf;
     double cmd_time = 0;
 
@@ -284,14 +305,30 @@ struct Executor {
         std::memcpy(y.data() + nq, o.v.data(), nq * sizeof(double));
         kf.correct(y);
 
-        // 3. policy
-        bool have_pol = pol_lock.read([&] {
-            if (pol_local_t0 != pol_buf.t0) {
-                pol_local = pol_buf;
-                pol_local_t0 = pol_buf.t0;
-                policy_switches.fetch_add(1, std::memory_order_relaxed);
-            }
-        });
+        // 3. policy (copy the published slot into preallocated local storage;
+        // the slot seqlock rejects torn copies if the writer laps the reader)
+        const int cur = pol_cur.load(std::memory_order_acquire);
+        bool have_pol = false;
+        if (cur >= 0) {
+            const Policy& src = pol_slot[cur];
+            have_pol = pol_slot_lock[cur].read([&] {
+                if (pol_local_t0 != src.t0) {
+                    pol_local.t0 = src.t0;
+                    pol_local.dt = src.dt;
+                    pol_local.N = src.N;
+                    const int n = src.N;
+                    std::memcpy(pol_local.X.data(), src.X.data(),
+                                (size_t)(n + 1) * nx * sizeof(double));
+                    std::memcpy(pol_local.U.data(), src.U.data(),
+                                (size_t)n * nq * sizeof(double));
+                    std::memcpy(pol_local.K.data(), src.K.data(),
+                                (size_t)n * nq * nx * sizeof(double));
+                    pol_local_t0 = src.t0;
+                    policy_switches.fetch_add(1, std::memory_order_relaxed);
+                }
+            });
+            if (!have_pol) pol_local_t0 = -1;  // torn copy: retry next tick
+        }
         if (!have_pol || pol_local.N == 0) return;
 
         const Policy& P = pol_local;
@@ -392,6 +429,10 @@ void* upright_executor_create(int nq, double rate, double kf_init_var,
     ex->cmd_buf.assign(nq, 0.0);
     ex->obs_buf.q.assign(nq, 0.0);
     ex->obs_buf.v.assign(nq, 0.0);
+    // preallocate fixed-capacity policy storage (never resized afterwards)
+    ex->pol_slot[0].alloc(Executor::kMaxPolicyN, ex->nx, nq);
+    ex->pol_slot[1].alloc(Executor::kMaxPolicyN, ex->nx, nq);
+    ex->pol_local.alloc(Executor::kMaxPolicyN, ex->nx, nq);
     return ex;
 }
 
@@ -414,19 +455,25 @@ void upright_executor_post_observation(void* h, double t, const double* q,
     });
 }
 
-void upright_executor_post_policy(void* h, double t0, double dt, int N,
-                                  const double* X, const double* U,
-                                  const double* K) {
+int upright_executor_post_policy(void* h, double t0, double dt, int N,
+                                 const double* X, const double* U,
+                                 const double* K) {
     auto* ex = static_cast<Executor*>(h);
     const int nx = ex->nx, nq = ex->nq;
-    ex->pol_lock.write([&] {
-        ex->pol_buf.t0 = t0;
-        ex->pol_buf.dt = dt;
-        ex->pol_buf.N = N;
-        ex->pol_buf.X.assign(X, X + (N + 1) * nx);
-        ex->pol_buf.U.assign(U, U + N * nq);
-        ex->pol_buf.K.assign(K, K + N * nq * nx);
+    if (N > Executor::kMaxPolicyN) return 0;  // exceeds fixed buffer capacity
+    const int cur = ex->pol_cur.load(std::memory_order_relaxed);
+    const int w = cur == 0 ? 1 : 0;  // write the slot not being read
+    Policy& dst = ex->pol_slot[w];
+    ex->pol_slot_lock[w].write([&] {
+        dst.t0 = t0;
+        dst.dt = dt;
+        dst.N = N;
+        std::memcpy(dst.X.data(), X, (size_t)(N + 1) * nx * sizeof(double));
+        std::memcpy(dst.U.data(), U, (size_t)N * nq * sizeof(double));
+        std::memcpy(dst.K.data(), K, (size_t)N * nq * nx * sizeof(double));
     });
+    ex->pol_cur.store(w, std::memory_order_release);
+    return 1;
 }
 
 int upright_executor_get_command(void* h, double* v_cmd, double* t_cmd) {

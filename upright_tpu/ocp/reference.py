@@ -30,7 +30,8 @@ class TargetTrajectory:
     def from_waypoints(waypoints, r0, q0):
         """Build from config waypoint dicts relative to the initial EE pose
         (reference wrappers.py:13-75: positions relative to r0, orientations
-        composed with q0)."""
+        composed in the EE body frame: q = q0 * q_rel, i.e.
+        R(q0) @ R(q_rel) — matching quat_multiply(Q_we, orientation))."""
         from upright_tpu.core.math import quat_multiply
 
         times, poses = [], []
@@ -39,7 +40,7 @@ class TargetTrajectory:
             r = np.asarray(r0) + np.asarray(wp.get("position", [0, 0, 0]), dtype=float)
             q_rel = np.asarray(wp.get("orientation", [0, 0, 0, 1]), dtype=float)
             q_rel = q_rel / np.linalg.norm(q_rel)
-            q = np.asarray(quat_multiply(jnp.asarray(q_rel), jnp.asarray(q0)))
+            q = np.asarray(quat_multiply(jnp.asarray(q0), jnp.asarray(q_rel)))
             s = float(wp.get("projectile_flag", 0.0))
             times.append(t)
             poses.append(np.concatenate([r, q, [s]]))

@@ -78,9 +78,16 @@ def plan_robust(config, com_half_extents=None, duration=None, iterations=60,
         prob = _with_balance_model(config, N, robust_model)
         balance_params = robust_model.params
 
-    al_cfg = ALConfig(iterations=iterations, rho_eq=rho, rho_ineq=rho)
+    # long-horizon offline plans use the O(log N) associative-scan Riccati
+    # (SURVEY §5.7: the horizon is this engine's sequence-parallel axis)
+    al_cfg = ALConfig(
+        iterations=iterations, rho_eq=rho, rho_ineq=rho,
+        backward="pscan" if use_parallel_scan else "scan",
+    )
     params = prob.stage_params(0.0, balance_params=balance_params)
-    sol = solve(prob.ocp, al_cfg, params, prob.x0, zeros_warm_start(prob.ocp, prob.x0))
+    sol = jax.jit(
+        lambda p, x0, s: solve(prob.ocp, al_cfg, p, x0, s)
+    )(params, prob.x0, zeros_warm_start(prob.ocp, prob.x0))
 
     ts = np.arange(N + 1) * dt
     return prob, sol, OfflinePlan(

@@ -38,6 +38,7 @@ def _load():
     lib.upright_executor_post_policy.argtypes = [
         ctypes.c_void_p, d, d, ctypes.c_int, dp, dp, dp,
     ]
+    lib.upright_executor_post_policy.restype = ctypes.c_int
     lib.upright_executor_get_command.argtypes = [ctypes.c_void_p, dp, dp]
     lib.upright_executor_get_command.restype = ctypes.c_int
     lib.upright_executor_get_state_estimate.argtypes = [ctypes.c_void_p, dp]
@@ -106,9 +107,11 @@ class NativeExecutor:
         _, X_p = _as_ptr(X)
         _, U_p = _as_ptr(U)
         _, K_p = _as_ptr(K)
-        self._lib.upright_executor_post_policy(
+        ok = self._lib.upright_executor_post_policy(
             self._h, float(t0), float(dt), N, X_p, U_p, K_p
         )
+        if not ok:
+            raise ValueError(f"policy horizon N={N} exceeds executor capacity")
 
     def get_command(self):
         v = np.zeros(self.nq)

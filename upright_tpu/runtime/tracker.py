@@ -20,7 +20,6 @@ from typing import Callable, Optional
 import numpy as np
 
 from upright_tpu.runtime.estimator import robot_kf
-from upright_tpu.runtime.projectile import ProjectileTracker
 from upright_tpu.runtime.safety import SafetyMonitor
 
 

@@ -45,6 +45,13 @@ class ALConfig:
     update_multipliers: bool = True  # AL dual update at end of solve
     scan_unroll: int = 1  # lax.scan unroll factor (horizon loops)
     defect_penalty: float = 100.0  # multiple-shooting merit weight on |f(x_k,u_k) - x_{k+1}|
+    # Riccati backward-pass implementation (SURVEY §5.7 horizon parallelism):
+    #   "scan"   sequential lax.scan — fastest at the online N=20 horizon
+    #   "pscan"  O(log N) associative scan — long-horizon offline plans
+    #   "pallas" fused VMEM kernel — large-batch solves
+    backward: str = "scan"
+    pallas_interpret: bool = False  # run the Pallas kernel in interpret mode (CPU tests)
+    pallas_block: int = 1  # instances per Pallas program (batched via vmap grid axis)
 
 
 # ---------------------------------------------------------------------------
@@ -311,8 +318,24 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         )(X[:-1], U, p_stage, lam, mu)
         gf, Hf = _final_derivatives(ocp, cfg, X[-1], p_final, lam_f)
 
-        # Riccati
-        K, kff = _backward_pass(ocp, cfg, A, B, d, grads, hess, gf, Hf)
+        # Riccati (backward pass implementation selected by cfg.backward)
+        if cfg.backward == "pscan":
+            from upright_tpu.solver.pscan import parallel_backward_pass
+
+            K, kff = parallel_backward_pass(
+                A, B, d, grads, hess, gf, Hf, reg=cfg.reg
+            )
+        elif cfg.backward == "pallas":
+            from upright_tpu.solver.pallas_riccati import pallas_backward_pass
+
+            K, kff = pallas_backward_pass(
+                A[None], B[None], d[None], grads[None], hess[None],
+                gf[None], Hf[None], reg=cfg.reg, block=cfg.pallas_block,
+                interpret=cfg.pallas_interpret,
+            )
+            K, kff = K[0], kff[0]
+        else:
+            K, kff = _backward_pass(ocp, cfg, A, B, d, grads, hess, gf, Hf)
 
         # line search over fixed candidates (vmapped rollouts)
         alphas = jnp.asarray(cfg.line_search_steps)

@@ -23,6 +23,7 @@ from upright_tpu.ocp.problem import UprightProblem, build_problem
 from upright_tpu.ocp.reference import TargetTrajectory
 from upright_tpu.solver.al import ALConfig, solve
 from upright_tpu.solver.ocp import SolverState, zeros_warm_start
+from upright_tpu.solver.trajectory import StateInputTrajectory, TrajectoryInterpolator
 
 
 @dataclasses.dataclass
@@ -84,6 +85,13 @@ class ControllerManager:
         self.replanning_durations = []  # wall-clock per replan (profiling
         # parity with manager.py:163-168)
 
+        # operating points: a saved plan used as the initial solver guess
+        # (reference wrappers.py:289-296, controller_interface.cpp:380-387)
+        self._operating_traj: Optional[StateInputTrajectory] = None
+        op_conf = problem.config["controller"].get("operating_points", {})
+        if op_conf.get("enabled", False):
+            self._operating_traj = StateInputTrajectory.load(op_conf["path"])
+
     @classmethod
     def from_config(cls, config, settings: Optional[MPCSettings] = None):
         return cls(build_problem(config), settings)
@@ -97,11 +105,38 @@ class ControllerManager:
         self.solution = None
         self.last_plan_time = -np.inf
 
+    def set_operating_points(self, traj: StateInputTrajectory):
+        """Use a saved plan as the initial solver guess (the reference's
+        operating-points mechanism, wrappers.py:289-296)."""
+        self._operating_traj = traj
+
+    def _initial_guess(self, t, x):
+        """Cold-start state, seeded from the operating-point trajectory when
+        one is configured (controller_interface.cpp:380-387: OCS2 falls back
+        to OperatingPoints interpolation for uninitialized time intervals)."""
+        state = zeros_warm_start(self.problem.ocp, x)
+        traj = self._operating_traj
+        if traj is None:
+            return state
+        N, dt = self.problem.ocp.N, self.problem.dt
+        interp = TrajectoryInterpolator(traj, self.problem.dims.robot_q)
+        samples = [interp.interpolate(t + k * dt) for k in range(N + 1)]
+        X = np.stack([s[0] for s in samples])
+        U = np.stack([s[1] for s in samples[:-1]])
+        nx, nu = self.problem.ocp.nx, self.problem.ocp.nu
+        if X.shape[1] != nx or U.shape[1] != nu:
+            raise ValueError(
+                f"operating-point trajectory dims {X.shape[1]}/{U.shape[1]} "
+                f"do not match problem dims {nx}/{nu}"
+            )
+        X = jnp.asarray(X).at[0].set(x)
+        return state.replace(X=X, U=jnp.asarray(U))
+
     def warmstart(self, t=0.0, x=None):
         """Initial high-iteration solve (reference manager.py:147-154)."""
         x = self.problem.x0 if x is None else jnp.asarray(x)
         params = self.problem.stage_params(t, self.target)
-        state = zeros_warm_start(self.problem.ocp, x)
+        state = self._initial_guess(t, x)
         t_start = time.perf_counter()
         sol = self._solve_warm(params, x, state)
         jax.block_until_ready(sol.state.X)
@@ -150,15 +185,27 @@ class ControllerManager:
             u = u + sol.K[k] @ (jnp.asarray(x) - X[k])
         return np.asarray(xd), np.asarray(u)
 
-    def plan(self, timestep, duration, t0=0.0, x0=None):
-        """Unroll the current solution into a dense (t, x, u) trajectory
-        (reference manager.py:186-209, offline robust-planning mode)."""
+    def plan(self, timestep, duration, t0=0.0, x0=None) -> StateInputTrajectory:
+        """Construct a plan by rolling the MPC forward, feeding the planned
+        state back as the observation (reference manager.py:186-209: each
+        step observes the previous x_opt, so the policy is pure feedforward
+        — the feedback term vanishes at x == X[k])."""
+        x = np.asarray(self.problem.x0 if x0 is None else x0)
         if self.state is None:
-            self.warmstart(t0, x0)
-        ts = np.arange(t0, t0 + duration + 1e-9, timestep)
-        xs, us = [], []
-        for t in ts:
-            xd, u = self.evaluate_policy(t, None if x0 is None else x0)
-            xs.append(xd)
-            us.append(u)
-        return ts, np.asarray(xs), np.asarray(us)
+            self.warmstart(t0, x)
+        ts, xs, us = [], [], []
+        t = float(t0)
+        while t <= t0 + duration + 1e-9:
+            # replan from the current (planned) observation; at x == X[0]
+            # the feedback term vanishes, so u is the pure feedforward
+            _xd, u = self.step(t, x)
+            ts.append(t)
+            xs.append(x)
+            us.append(np.asarray(u))
+            # advance the observation along the freshly optimized plan
+            x_next, _ = self.evaluate_policy(t + timestep, x)
+            x = np.asarray(x_next)
+            t += timestep
+        return StateInputTrajectory(
+            ts=np.asarray(ts), xs=np.asarray(xs), us=np.asarray(us)
+        )

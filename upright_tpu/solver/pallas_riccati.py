@@ -15,8 +15,9 @@ scalar operation over the batch block:
     operation is a (BLOCK,)-wide VPU vector op — no per-instance loops
 
 Numerics match al._backward_pass (same recursion, same regularization).
-Used by the batched solver when `ALConfig.use_pallas_riccati` is set; the
-interpret-mode path makes the kernel testable on CPU.
+Selected via ``ALConfig(backward="pallas")`` (al.solve routes its backward
+pass through this kernel; under vmap the batch axis becomes a grid axis);
+the interpret-mode path makes the kernel testable on CPU.
 """
 
 from __future__ import annotations
