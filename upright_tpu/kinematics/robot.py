@@ -42,14 +42,22 @@ def _rpy_matrix(rpy):
     return Rz @ Ry @ Rx
 
 
-# UR10 kinematic chain (public Universal Robots ur_description values).
+# UR10 kinematic chain, constructed directly from the official Universal
+# Robots DH parameters (d1=0.1273, a2=-0.612, a3=-0.5723, d4=0.163941,
+# d5=0.1157, d6=0.0922, alpha=[pi/2,0,0,pi/2,-pi/2,0]) regrouped into
+# URDF-style joints (fixed origin, then rotation about local z): joint i's
+# origin is TransX(a_{i-1}) RotX(alpha_{i-1}) TransZ(d_i), so the chain's
+# forward kinematics equal the standard-DH flange map with theta == q —
+# the same convention the ROS UR driver + ur_description use, so reference
+# home configurations keep their meaning.  Cross-checked joint-by-joint
+# against an independent DH implementation in tests/test_fk_oracle.py.
 _UR10_JOINTS = [
     ("ur10_arm_shoulder_pan_joint", [0, 0, 0.1273], [0, 0, 0], [0, 0, 1]),
-    ("ur10_arm_shoulder_lift_joint", [0, 0.220941, 0], [0, np.pi / 2, 0], [0, 1, 0]),
-    ("ur10_arm_elbow_joint", [-0.612, 0, 0], [0, 0, 0], [0, 1, 0]),
-    ("ur10_arm_wrist_1_joint", [-0.5723, 0, 0.163941], [0, np.pi / 2, 0], [0, 1, 0]),
-    ("ur10_arm_wrist_2_joint", [0, 0.1157, 0], [0, 0, 0], [0, 0, 1]),
-    ("ur10_arm_wrist_3_joint", [0, 0, 0.0922], [0, 0, 0], [0, 1, 0]),
+    ("ur10_arm_shoulder_lift_joint", [0, 0, 0], [np.pi / 2, 0, 0], [0, 0, 1]),
+    ("ur10_arm_elbow_joint", [-0.612, 0, 0], [0, 0, 0], [0, 0, 1]),
+    ("ur10_arm_wrist_1_joint", [-0.5723, 0, 0.163941], [0, 0, 0], [0, 0, 1]),
+    ("ur10_arm_wrist_2_joint", [0, -0.1157, 0], [np.pi / 2, 0, 0], [0, 0, 1]),
+    ("ur10_arm_wrist_3_joint", [0, 0.0922, 0], [-np.pi / 2, 0, 0], [0, 0, 1]),
 ]
 
 # Nominal mount of the UR10 base on the Ridgeback chassis.  The reference gets
@@ -60,11 +68,13 @@ DEFAULT_ARM_MOUNT = {"xyz": [0.27, 0.01, 0.653], "rpy": [0.0, 0.0, np.pi]}
 # Tool (gripper -> tray/gripped-object) transform.  Translation from the
 # reference sim calibration (upright_cmd/config/robots/calibration/
 # tray_transforms_sim.yaml); rotation calibrated so the tray is exactly level
-# at the reference home configuration (wrist_3 = 0.417pi) — the reference
-# achieves the same via its own calibrated tray transforms.
+# at the reference home configuration (wrist_3 = 0.417pi: the 0.083pi roll
+# complement cancels the wrist-3 azimuth, the -pi/2 pitch turns the flange
+# axis upright) — the reference achieves the same via its own calibrated
+# tray transforms.
 DEFAULT_TOOL_TRANSFORM = {
     "xyz": [0.036712437868118286, -0.0004053786105941981, 0.308562308549881],
-    "rpy": [-np.pi, -1.3100441416539916, 0.0],
+    "rpy": [1.083 * np.pi, -np.pi / 2, 0.0],
 }
 
 
