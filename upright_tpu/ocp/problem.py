@@ -83,44 +83,127 @@ class UprightProblem:
     target: TargetTrajectory
     gravity: jnp.ndarray
     config: dict
+    # (name, row count) of each inequality block, in stacking order —
+    # the reference exposes constraint values per named constraint
+    # (controller_python_interface.h:31-88)
+    ineq_groups: list = dataclasses.field(default_factory=list)
 
     def evaluate_constraints(self, x, u, t=0.0, target=None):
-        """Diagnostic evaluation of all constraint groups at one (x, u, t)
-        — the reference logs these per named constraint through the pybind
-        interface (controller_python_interface.h:31-88, mpc_sim.py:190-248)."""
+        """Diagnostic evaluation of all constraint groups at one (x, u, t),
+        split by named group — parity with the reference's per-named-
+        constraint logging (controller_python_interface.h:31-88,
+        mpc_sim.py:190-248)."""
         params = self.stage_params(t, target)
         p0 = {k: v[0] for k, v in params["stage"].items()}
         r, W = self.ocp.stage_residuals(jnp.asarray(x), jnp.asarray(u), p0)
-        return {
+        h = self.ocp.ineq(jnp.asarray(x), jnp.asarray(u), p0)
+        out = {
             "equality": self.ocp.eq(jnp.asarray(x), jnp.asarray(u), p0),
-            "inequality": self.ocp.ineq(jnp.asarray(x), jnp.asarray(u), p0),
+            "inequality": h,
             "ee_pose_error": r[:6],
         }
+        off = 0
+        for name, n_rows in self.ineq_groups:
+            out[name] = h[off : off + n_rows]
+            off += n_rows
+        return out
+
+    def diagnostics(self, x, u, t=0.0, target=None):
+        """Scalar diagnostics the reference tracks per step
+        (manager.py:60-96 ControllerModel.angle_between_acc_and_normal /
+        ddC_we_norm; util.py:37-58 support_area_distance; plus the stage
+        cost and the contact-force decision variables)."""
+        from upright_tpu.core.math import skew3
+
+        params = self.stage_params(t, target)
+        p0 = {k: v[0] for k, v in params["stage"].items()}
+        x = jnp.asarray(x)
+        u = jnp.asarray(u)
+        ee = self.robot.ee_state(x[: self.dims.robot_x])
+
+        # angle between the tray normal (EE z) and total acceleration
+        total_acc = ee.a_ew_w - self.gravity
+        n_w = ee.C_we @ jnp.array([0.0, 0, 1])
+        cosang = jnp.dot(n_w, total_acc) / jnp.maximum(
+            jnp.linalg.norm(total_acc), 1e-9
+        )
+        orn_err = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+
+        # norm of the rotation-matrix second derivative (manager.py:85-96)
+        S_w = skew3(ee.w_ew_w)
+        S_a = skew3(ee.alpha_ew_w)
+        ddC = (S_a + S_w @ S_w) @ ee.C_we
+        return {
+            "orn_err": orn_err,
+            "ddC_we_norm": jnp.linalg.norm(ddC),
+            "cost": self.ocp.stage_cost(x, u, p0),
+            "contact_forces": u[self.dims.robot_u :],
+        }
+
+    def shift_warm_start(self, state, shift):
+        """Time-shift the warm start by ``shift`` nodes (fractional OK).
+
+        OCS2 warm-starts each re-solve by interpolating the PREVIOUS
+        solution at the NEW query times (primal solution carry-over in
+        SqpSolver); without the shift a replan that advances a full node
+        hands the 1-iteration SQP a plan misaligned by one stage and the
+        errors compound.  ``shift = (t - t_last)/dt``; jit-safe for traced
+        ``shift`` (gather + linear interpolation; multipliers interpolate
+        the same way, tail entries clamp to the last stage).
+        """
+        s = jnp.asarray(shift, dtype=state.X.dtype)
+        s = jnp.maximum(s, 0.0)
+        n = jnp.floor(s).astype(jnp.int32)
+        frac = s - n
+
+        def shift_rows(A, last):
+            k = jnp.arange(A.shape[0])
+            a = jnp.clip(k + n, 0, last)
+            b = jnp.clip(k + n + 1, 0, last)
+            return (1.0 - frac) * A[a] + frac * A[b]
+
+        N = state.U.shape[0]
+        return state.replace(
+            X=shift_rows(state.X, N),
+            U=shift_rows(state.U, N - 1),
+            lam=shift_rows(state.lam, N - 1),
+            mu=shift_rows(state.mu, N - 1),
+        )
 
     def heal_warm_start(self, state, x0):
-        """Re-propagate the autonomous (dynamic-obstacle) state components of
-        a warm-start trajectory from the new initial state.
+        """Repair stale components of the warm start for the new x0.
 
-        Obstacles evolve independently of the controls, so their stored
-        trajectory goes stale between replans; stale components create large
-        dynamics defects that poison the line search."""
-        if self.dims.num_obstacles == 0:
-            return state
+        - Dynamic-obstacle tails evolve autonomously, so they are always
+          re-propagated from the measured obstacle state (stale tails create
+          defects the line search cannot remove).
+        - The robot part keeps the stored (near-optimal) trajectory for
+          normal tracking, but after a LARGE state jump (e.g. post-brake
+          re-engage) the stored plan is unreachable from x0 and its stage-0
+          defect stalls the line search; in that case the state trajectory
+          is re-rolled from x0 through the stored inputs.  The switch is a
+          smooth jit-safe blend gated on |x0 - X[0]|.
+        """
         import jax
 
-        rx = self.dims.robot_x
+        x0 = jnp.asarray(x0)
 
-        def prop(tail, _):
-            new_tail = jnp.concatenate(
-                [_obstacle_step(self.dt)(tail[9 * i : 9 * (i + 1)])
-                 for i in range(self.dims.num_obstacles)]
-            )
-            return new_tail, new_tail
+        def step(x, u):
+            # stage params do not affect the robot/obstacle dynamics
+            x_next = self.ocp.dynamics(x, u, None)
+            return x_next, x_next
 
-        tail0 = jnp.asarray(x0)[rx:]
-        _, tails = jax.lax.scan(prop, tail0, None, length=self.ocp.N)
-        tails = jnp.concatenate([tail0[None], tails], axis=0)  # (N+1, 9*o)
-        X = state.X.at[:, rx:].set(tails)
+        _, X_roll_tail = jax.lax.scan(step, x0, state.U)
+        X_roll = jnp.concatenate([x0[None], X_roll_tail], axis=0)
+
+        X_keep = state.X
+        if self.dims.num_obstacles:
+            rx = self.dims.robot_x
+            X_keep = X_keep.at[:, rx:].set(X_roll[:, rx:])
+
+        # jump detector: re-roll only when the plan is far from x0
+        jump = jnp.linalg.norm(x0[: self.dims.robot_x] - state.X[0, : self.dims.robot_x])
+        use_roll = jump > 0.05
+        X = jnp.where(use_roll, X_roll, X_keep)
         return state.replace(X=X)
 
     def stage_params(self, t0, target: Optional[TargetTrajectory] = None,
@@ -501,6 +584,24 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     }
     n_ineq = int(jax.eval_shape(ineq, dummy_x, dummy_u, dummy_p).shape[0])
 
+    # named inequality blocks, in stacking order (for diagnostics/logging)
+    ineq_groups = []
+    if nc > 0 and not frictionless:
+        ineq_groups.append(("contact_force_constraints", 5 * nc))
+    if x_lb is not None:
+        ineq_groups.append(("state_limits", 2 * dims.robot_x))
+    if u_lb is not None:
+        ineq_groups.append(("input_limits", 2 * dims.u))
+    if ee_box_enabled:
+        ineq_groups.append(("ee_box_constraints", 6))
+    if ia_con_enabled:
+        ineq_groups.append(("alignment_constraints", 5))
+    if collision_pairs:
+        ineq_groups.append(("collision_pair_distances", len(collision_pairs)))
+    if proj_enabled and proj_links:
+        ineq_groups.append(("projectile_distances", len(proj_links)))
+    assert sum(n for _, n in ineq_groups) == n_ineq, (ineq_groups, n_ineq)
+
     ocp = OCP(
         N=N, nx=dims.x, nu=dims.u, n_eq=n_eq, n_ineq=n_ineq, n_feq=n_feq,
         dynamics=dynamics, stage_cost=stage_cost, eq=eq, ineq=ineq,
@@ -542,6 +643,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     return UprightProblem(
         ocp=ocp, dims=dims, robot=robot, balance_model=model, dt=dt,
         x0=x0, xd=xd_robot, target=target, gravity=gravity, config=config,
+        ineq_groups=ineq_groups,
     )
 
 

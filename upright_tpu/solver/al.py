@@ -43,6 +43,12 @@ class ALConfig:
     )
     mu_max: float = 1e6  # inequality-multiplier safeguard
     update_multipliers: bool = True  # AL dual update at end of solve
+    # dual safeguarding for heavily-constrained problems (frictional cones):
+    # take several primal (Riccati) steps per multiplier update, and damp the
+    # update.  1/1.0 reproduces the classic one-step PHR iteration used by
+    # the warm-started MPC path.
+    dual_update_every: int = 1  # primal iterations per dual update
+    dual_step: float = 1.0  # damping factor on the multiplier step
     scan_unroll: int = 1  # lax.scan unroll factor (horizon loops)
     defect_penalty: float = 100.0  # multiple-shooting merit weight on |f(x_k,u_k) - x_{k+1}|
     # Riccati backward-pass implementation (SURVEY §5.7 horizon parallelism):
@@ -289,7 +295,7 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
     p_stage = params["stage"]
     p_final = params["final"]
 
-    def sqp_iter(carry, _):
+    def sqp_iter(carry, it):
         X, U, lam, mu, lam_f = carry
 
         # pin the initial state
@@ -355,23 +361,35 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         X_new = jnp.where(accept, Xs[best], X)
         U_new = jnp.where(accept, Us[best], U)
 
-        # dual (multiplier) update each iteration: makes warm-started
-        # 1-iteration MPC solves track the constrained optimum
+        # dual (multiplier) update: makes warm-started 1-iteration MPC solves
+        # track the constrained optimum.  With dual_update_every > 1, the
+        # duals move only every k-th iteration (several primal steps per dual
+        # step) and dual_step damps them — this suppresses the primal/dual
+        # limit cycle that heavily-coupled inequality sets (frictional cones
+        # sharing force variables with the dynamics equalities) otherwise
+        # fall into.
         if cfg.update_multipliers:
+            plain = cfg.dual_update_every == 1 and cfg.dual_step == 1.0
+            if plain:
+                beta = 1.0
+            else:
+                do_update = ((it + 1) % cfg.dual_update_every) == 0
+                beta = jnp.where(do_update, cfg.dual_step, 0.0)
             if ocp.n_eq > 0:
                 g = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X_new[:-1], U_new, p_stage)
-                lam = lam + cfg.rho_eq * g
+                lam = lam + beta * cfg.rho_eq * g
             if ocp.n_ineq > 0:
                 h = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X_new[:-1], U_new, p_stage)
-                mu = jnp.clip(jnp.maximum(0.0, mu - cfg.rho_ineq * h), 0.0, cfg.mu_max)
+                mu_new = jnp.clip(jnp.maximum(0.0, mu - cfg.rho_ineq * h), 0.0, cfg.mu_max)
+                mu = mu_new if plain else mu + beta * (mu_new - mu)
             if ocp.n_feq > 0:
-                lam_f = lam_f + cfg.rho_eq * ocp.final_eq(X_new[-1], p_final)
+                lam_f = lam_f + beta * cfg.rho_eq * ocp.final_eq(X_new[-1], p_final)
 
         return (X_new, U_new, lam, mu, lam_f), (merits[best], K)
 
     carry0 = (state.X, state.U, state.lam, state.mu, state.lam_f)
     (X, U, lam, mu, lam_f), (_, Ks) = jax.lax.scan(
-        sqp_iter, carry0, None, length=cfg.iterations
+        sqp_iter, carry0, jnp.arange(cfg.iterations)
     )
     K = Ks[-1]
 

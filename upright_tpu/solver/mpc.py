@@ -35,6 +35,9 @@ class MPCSettings:
     warmstart_iterations: int = 12  # iterations for the initial solve
     rho_eq: float = 10.0
     rho_ineq: float = 10.0
+    # dual safeguarding (frictional problems; see ALConfig)
+    dual_update_every: int = 1
+    dual_step: float = 1.0
     use_feedback_policy: bool = True
     # full candidate ladder: sudden constraint activations (thrown obstacles)
     # need the fine steps; trimming to 4 froze the dodge response
@@ -44,9 +47,15 @@ class MPCSettings:
     def from_config(ctrl_conf):
         sqp = ctrl_conf.get("sqp", {})
         tracking = ctrl_conf.get("tracking", {})
+        solver = ctrl_conf.get("solver", {})
         return MPCSettings(
             replan_interval=float(tracking.get("min_policy_update_time", 0.01)),
             iterations=int(sqp.get("sqp_iteration", 1)),
+            warmstart_iterations=int(solver.get("warmstart_iterations", 12)),
+            rho_eq=float(solver.get("rho_eq", 10.0)),
+            rho_ineq=float(solver.get("rho_ineq", 10.0)),
+            dual_update_every=int(solver.get("dual_update_every", 1)),
+            dual_step=float(solver.get("dual_step", 1.0)),
             use_feedback_policy=bool(sqp.get("use_feedback_policy", True)),
         )
 
@@ -65,14 +74,32 @@ class ControllerManager:
             rho_ineq=self.settings.rho_ineq,
             line_search_steps=tuple(self.settings.line_search_steps),
         )
+        # the initial (cold) solve additionally applies the configured dual
+        # safeguarding; the warm-started replan path keeps the plain
+        # one-step PHR update (the reference's 1-iteration SQP semantics)
         self._warm_cfg = dataclasses.replace(
-            self._cfg, iterations=self.settings.warmstart_iterations
+            self._cfg,
+            iterations=self.settings.warmstart_iterations,
+            dual_update_every=self.settings.dual_update_every,
+            dual_step=self.settings.dual_step,
         )
 
         ocp = problem.ocp
 
+        # warm-start time-shift + healing are fused into the jitted replan
+        # (pure jax ops; running them eagerly would dispatch scans per
+        # replan).  ``shift`` is traced, so varying replan cadence does not
+        # recompile.
         self._solve = jax.jit(
-            lambda params, x0, state: solve(ocp, self._cfg, params, x0, state)
+            lambda params, x0, state, shift: solve(
+                ocp,
+                self._cfg,
+                params,
+                x0,
+                problem.heal_warm_start(
+                    problem.shift_warm_start(state, shift), x0
+                ),
+            )
         )
         self._solve_warm = jax.jit(
             lambda params, x0, state: solve(ocp, self._warm_cfg, params, x0, state)
@@ -159,9 +186,14 @@ class ControllerManager:
             self.warmstart(t, x)
         elif t >= self.last_plan_time + self.settings.replan_interval:
             params = self.problem.stage_params(t, self.target)
+            # round to whole nodes: inputs are piecewise-constant per
+            # shooting interval, so a converged warm start stays exactly
+            # feasible under sub-interval replanning (shift 0), while a
+            # full-node advance (e.g. plan() at the shooting cadence) rolls
+            # the trajectory so the 1-iteration SQP starts aligned
+            shift = round((t - self.last_plan_time) / self.problem.dt)
             t_start = time.perf_counter()
-            state = self.problem.heal_warm_start(self.state, x)
-            sol = self._solve(params, x, state)
+            sol = self._solve(params, x, self.state, shift)  # shift+heal in jit
             jax.block_until_ready(sol.state.X)
             self.replanning_durations.append(time.perf_counter() - t_start)
             self.state = sol.state
@@ -193,8 +225,11 @@ class ControllerManager:
         x = np.asarray(self.problem.x0 if x0 is None else x0)
         if self.state is None:
             self.warmstart(t0, x)
+        nq = self.problem.dims.robot_q
+        rx = self.problem.dims.robot_x
         ts, xs, us = [], [], []
         t = float(t0)
+        h = float(timestep)
         while t <= t0 + duration + 1e-9:
             # replan from the current (planned) observation; at x == X[0]
             # the feedback term vanishes, so u is the pure feedforward
@@ -202,10 +237,25 @@ class ControllerManager:
             ts.append(t)
             xs.append(x)
             us.append(np.asarray(u))
-            # advance the observation along the freshly optimized plan
-            x_next, _ = self.evaluate_policy(t + timestep, x)
-            x = np.asarray(x_next)
-            t += timestep
+            # advance the observation by EXACT integration of the triple
+            # integrator under the returned jerk (interpolating the plan
+            # instead would feed back dynamically-inconsistent states and
+            # wind up the AL multipliers)
+            q, v, a = x[:nq], x[nq : 2 * nq], x[2 * nq : 3 * nq]
+            j = np.asarray(u)[:nq]
+            parts = [
+                q + h * v + 0.5 * h**2 * a + h**3 / 6.0 * j,
+                v + h * a + 0.5 * h**2 * j,
+                a + h * j,
+            ]
+            for i in range(self.problem.dims.num_obstacles):
+                s = x[rx + 9 * i : rx + 9 * (i + 1)]
+                ro, vo, ao = s[:3], s[3:6], s[6:9]
+                parts.append(
+                    np.concatenate([ro + h * vo + 0.5 * h**2 * ao, vo + h * ao, ao])
+                )
+            x = np.concatenate(parts)
+            t += h
         return StateInputTrajectory(
             ts=np.asarray(ts), xs=np.asarray(xs), us=np.asarray(us)
         )
