@@ -1,0 +1,93 @@
+"""Closed-loop tests over the harder arrangements (VERDICT r1 items 5+8):
+arch, cups, fixture, wedge, and a sudden controlled obstacle.
+
+Each test runs the full MPC + JAX-plant loop (scripts/mpc_sim.py) and checks
+the EE reaches its waypoint while the objects stay in place.  All are marked
+slow (each costs ~2 compile-heavy minutes on CPU); the fast suite covers the
+same machinery on the single-bottle demos.
+"""
+
+import copy
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+import upright_tpu.config as cfg
+
+
+def _ur10_with_arrangement(arrangement, waypoint=(-0.2, 0.4, 0.2)):
+    path = cfg.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    config = copy.deepcopy(cfg.load_config(path))
+    config["simulation"]["arrangement"] = arrangement
+    config["controller"]["balancing"]["arrangement"] = arrangement
+    config["controller"]["waypoints"] = [
+        {"time": 0, "position": list(waypoint), "orientation": [0, 0, 0, 1]}
+    ]
+    return config
+
+
+def _run(config, duration=4.0, disp_tol=0.03, ee_tol=0.1):
+    from mpc_sim import run_closed_loop
+
+    sim, state, ctrl, logger = run_closed_loop(
+        config, duration=duration, ctrl_rate=50.0
+    )
+    target_r = np.asarray(ctrl.problem.target.poses[0, :3])
+    _, r_ew = sim.ee_pose(state)
+    assert np.linalg.norm(r_ew - target_r) < ee_tol, (
+        f"EE {np.round(r_ew, 3)} vs target {np.round(target_r, 3)}"
+    )
+    disp = sim.object_displacements(state)
+    assert (disp < disp_tol).all(), f"objects slid: {disp}"
+    return sim, state, ctrl
+
+
+@pytest.mark.slow
+def test_closed_loop_arch():
+    """Three-block arch: the bridge block touches BOTH pillars."""
+    _run(_ur10_with_arrangement("box_arch"))
+
+
+@pytest.mark.slow
+def test_closed_loop_cups():
+    """Seven cups on the tray (largest multi-object arrangement)."""
+    _run(_ur10_with_arrangement("blue_cups"))
+
+
+@pytest.mark.slow
+def test_closed_loop_fixture():
+    """Box next to a rigid fixture block: the fixture's side face supports
+    the box laterally (reference simulation.py:484-486,635-653)."""
+    _run(_ur10_with_arrangement("simulation_box_with_fixture"))
+
+
+@pytest.mark.slow
+def test_closed_loop_wedge():
+    """Block riding a wedge's sloped top face.  Regularized friction creeps
+    a few mm/s at this near-critical slope (tan 15deg = 0.268 vs mu = 0.3),
+    so the displacement tolerance is looser."""
+    _run(
+        _ur10_with_arrangement("wedge", waypoint=(-0.15, 0.3, 0.15)),
+        disp_tol=0.06,
+    )
+
+
+@pytest.mark.slow
+def test_closed_loop_sudden_obstacle():
+    """A controlled obstacle jumps into the path at t=1.0: the planner must
+    re-route around it (ral23 sudden_obstacle family)."""
+    config = cfg.load_config("configs/ral23/sudden_obstacle/sudden_t1.0.yaml")
+    config = copy.deepcopy(config)
+    config["simulation"]["duration"] = 4.0
+    sim, state, ctrl = _run(config, duration=4.0, ee_tol=0.35)
+    # the obstacle actually moved (controlled servo integrated)
+    from mpc_sim import run_closed_loop
+
+    obs = run_closed_loop.last_obstacles[0]
+    assert np.linalg.norm(obs.position(4.0) - np.array([1.25, 1.5, 0.25])) < 0.05

@@ -25,12 +25,18 @@ class ObstacleMode:
 
 class DynamicObstacle:
     def __init__(self, modes: List[ObstacleMode], radius=0.1, controlled=False,
-                 gain=1.0):
+                 gain=10.0):
         assert modes, "Dynamic obstacle needs at least one mode"
         self.modes = sorted(modes, key=lambda m: m.time)
         self.radius = radius
         self.controlled = controlled
-        self.gain = gain
+        self.gain = gain  # position gain of the velocity servo (reference K = 10 I)
+        # servo state (controlled mode only): the obstacle tracks its nominal
+        # path with a velocity servo instead of following it exactly
+        # (reference simulation.py:410-435)
+        self._r = np.array(self.modes[0].position, dtype=float)
+        self._v = np.zeros(3)
+        self._t = float(self.modes[0].time)
 
     @classmethod
     def from_config(cls, conf, ee_position=None):
@@ -61,9 +67,7 @@ class DynamicObstacle:
                 mode = m
         return mode
 
-    def state(self, t):
-        """9-D obstacle state [r, v, a] at time t (before the first mode the
-        obstacle parks at the first mode's initial position)."""
+    def _nominal_state(self, t):
         m = self._active_mode(t)
         dt = max(0.0, t - m.time)
         r = m.position + dt * m.velocity + 0.5 * dt**2 * m.acceleration
@@ -71,6 +75,38 @@ class DynamicObstacle:
         if t < self.modes[0].time:
             return np.concatenate([m.position, np.zeros(3), np.zeros(3)])
         return np.concatenate([r, v, m.acceleration])
+
+    def reset(self, t0=None):
+        """Re-initialize the controlled-mode servo state."""
+        m0 = self.modes[0]
+        self._r = np.array(m0.position, dtype=float)
+        self._v = np.zeros(3)
+        self._t = float(m0.time if t0 is None else t0)
+
+    def step(self, t):
+        """Advance the velocity-servo state to time t (controlled mode;
+        reference simulation.py:410-435: cmd_vel = K (rd - r) + vd applied as
+        the obstacle's velocity each sim step).  No-op when uncontrolled."""
+        if not self.controlled:
+            return
+        dt = t - self._t
+        if dt <= 0.0:
+            return
+        nominal = self._nominal_state(t)
+        rd, vd = nominal[:3], nominal[3:6]
+        cmd = self.gain * (rd - self._r) + vd
+        self._r = self._r + dt * cmd
+        self._v = cmd
+        self._t = t
+
+    def state(self, t):
+        """9-D obstacle state [r, v, a] at time t.  Uncontrolled obstacles
+        follow their piecewise-ballistic modes exactly; controlled obstacles
+        report the servo-integrated state (call ``step`` to advance it)."""
+        nominal = self._nominal_state(t)
+        if not self.controlled or t < self.modes[0].time:
+            return nominal
+        return np.concatenate([self._r, self._v, nominal[6:9]])
 
     def position(self, t):
         return self.state(t)[:3]

@@ -54,13 +54,21 @@ class SimState:
 
 @dataclasses.dataclass
 class ContactSurface:
-    """A support surface in a parent body's local frame."""
+    """A rectangular contact face in a parent body's local frame.
 
-    parent: int  # object index, or -1 for the EE (tray)
+    ``parent == -1`` means the face is rigidly attached to the EE (the tray
+    top, and every face of fixture objects, which the reference attaches
+    rigidly to the tray, simulation.py:484-486,635-653); otherwise it is a
+    face of the dynamic object with that index.  ``max_depth`` caps the
+    penetration at which the face still attracts contact (a vertex deeper
+    than the owning box's centroid belongs to the far side)."""
+
+    parent: int  # object index, or -1 for the EE frame (tray / fixtures)
     point: np.ndarray  # a point on the surface (local frame)
     normal: np.ndarray  # unit normal (local frame, pointing away from parent)
     half_extents: np.ndarray  # (2,) rectangular extent in the tangent plane
     tangents: np.ndarray  # (2, 3) tangent basis (local frame)
+    max_depth: float = np.inf
 
 
 @dataclasses.dataclass
@@ -70,7 +78,7 @@ class SimObjectSpec:
     inertia_local: np.ndarray  # (3,3) about CoM, local frame
     vertices_local: np.ndarray  # (k, 3) contact vertices rel. CoM, local frame
     mu: float  # friction vs parent
-    surface: ContactSurface  # the surface this object rests on
+    surfaces: list  # ContactSurface list this object can touch
     com_world_ee: np.ndarray  # initial CoM position in the EE frame
     q_init: np.ndarray  # initial orientation in the EE frame
     fixture: bool = False
@@ -93,6 +101,19 @@ class UprightSimulation:
         home = cfg_mod.parse_array(robot_conf.get("home", [0.0] * self.robot.nq))
         self.q_home = jnp.asarray(home)
 
+        # base velocity-command convention (reference robot.py:12-86): the
+        # controller plans world-frame base velocities; with
+        # command_frame: body, commands are interpreted in the base frame and
+        # mapped world-ward each substep (nonholonomic bases also drop the
+        # lateral component)
+        from upright_tpu.sim.base import base_mapping
+
+        self.base_type = robot_conf.get("base_type", "fixed").lower()
+        self.command_frame = robot_conf.get("command_frame", "world").lower()
+        self._base_forward = (
+            base_mapping(self.base_type)[0] if self.command_frame == "body" else None
+        )
+
         # measurement / process noise (reference sim/robot.py:123-167)
         noise = robot_conf.get("noise", {})
         meas = noise.get("measurement", {})
@@ -108,7 +129,11 @@ class UprightSimulation:
         # contact parameters
         self.k_contact = float(sim_config.get("contact_stiffness", 3.0e4))
         self.c_contact = float(sim_config.get("contact_damping", 200.0))
-        self.v_slip = float(sim_config.get("friction_regularization", 1e-3))
+        # friction regularization velocity: near-static creep scales with it
+        # (marginal arrangements like a box on a 15deg wedge at mu=0.3 creep
+        # at ~v_slip * F_t/(mu f_n - F_t)); the stability caps below keep the
+        # stiffer friction well-behaved
+        self.v_slip = float(sim_config.get("friction_regularization", 2e-4))
         self.max_contact_force = float(sim_config.get("max_contact_force", 500.0))
         # internal substeps for the object dynamics: explicit integration of
         # the penalty contacts needs dt_obj * omega well below 1 for the
@@ -117,9 +142,11 @@ class UprightSimulation:
         if "object_substeps" in sim_config:
             self.object_substeps = int(sim_config["object_substeps"])
         elif self.specs:
-            m_min = min(sp.mass for sp in self.specs)
-            omega = np.sqrt(self.k_contact / m_min)
-            self.object_substeps = int(np.clip(np.ceil(self.timestep * omega * 4.0 / 0.3), 1, 32))
+            # the stiffest coupled mode includes the ROTATIONAL response of a
+            # contact at lever arm L: effective mass 1/(1/m + L^2/I_min)
+            m_eff_min = min(_effective_mass(sp) for sp in self.specs)
+            omega = np.sqrt(self.k_contact / m_eff_min)
+            self.object_substeps = int(np.clip(np.ceil(self.timestep * omega * 4.0 / 0.3), 1, 64))
         else:
             self.object_substeps = 1
 
@@ -186,30 +213,45 @@ class UprightSimulation:
 
     # -- dynamics --------------------------------------------------------
 
-    def step(self, state: SimState, cmd_vel, n_steps: int = 1, params=None) -> SimState:
+    def step(self, state: SimState, cmd_vel, n_steps: int = 1, params=None,
+             rng_key=None) -> SimState:
         """Advance the plant by n_steps * timestep under a (held) joint
         velocity command.  ``params`` overrides the inertial parameters
-        (see default_params)."""
+        (see default_params).  ``rng_key`` enables process noise on the
+        command for this control cycle (reference robot.py:143-151)."""
         if params is None:
             params = self.default_params()
-        return self._step(state, jnp.asarray(cmd_vel), int(n_steps), params)
+        cmd = jnp.asarray(cmd_vel)
+        if rng_key is not None and self.v_proc_std > 0:
+            cmd = cmd + self.v_proc_std * jax.random.normal(rng_key, cmd.shape)
+        return self._step(state, cmd, int(n_steps), params)
 
     def _step_impl(self, state: SimState, cmd_vel, n_steps, params):
         dt = self.timestep
 
         def substep(s: SimState, _):
             # robot: velocity-commanded (Bullet velocity motors,
-            # reference robot.py:89-122)
-            q_new = s.q + dt * cmd_vel
-            v_new = cmd_vel
+            # reference robot.py:89-122), with the optional body->world
+            # base-command mapping applied at the current yaw
+            cmd = cmd_vel
+            if self._base_forward is not None:
+                cmd = self._base_forward(s.q, cmd_vel)
+            q_new = s.q + dt * cmd
+            v_new = cmd
 
             if self.n_obj:
+                # inner substeps as a lax.scan so the compiled graph holds
+                # ONE substep body regardless of the substep count (a Python
+                # loop here made multi-object compiles explode)
                 dt_obj = dt / self.object_substeps
-                s_obj = s
-                for _ in range(self.object_substeps):
-                    obj_new = self._object_substep(s_obj, dt_obj, params)
-                    s_obj = s_obj.replace(objects=obj_new)
-                obj_new = s_obj.objects
+
+                def obj_sub(objs, _):
+                    s_obj = s.replace(objects=objs)
+                    return self._object_substep(s_obj, dt_obj, params), None
+
+                obj_new, _ = jax.lax.scan(
+                    obj_sub, s.objects, None, length=self.object_substeps
+                )
             else:
                 obj_new = s.objects
             return SimState(t=s.t + dt, q=q_new, v=v_new, objects=obj_new), None
@@ -240,70 +282,82 @@ class UprightSimulation:
             tau_tot = jnp.zeros(3)
 
             # stability-limited per-object contact gains: explicit integration
-            # requires dt*sqrt(k/m) and dt*c/m bounded, so light objects get
-            # proportionally softer springs/dampers (same restitution feel)
+            # requires dt*sqrt(k/m_eff) and dt*c/m_eff bounded, where m_eff
+            # is the ROTATIONAL effective mass of a contact at the worst-case
+            # lever arm (1/m + L^2/I_min)^-1 — a vertex force at lever L
+            # drives the angular mode much harder than the linear one, and
+            # capping by m alone lets the friction damping destabilize the
+            # rotation (a resting box on a wedge would tumble numerically)
             m_i = params["mass"][i]
+            L2 = float(np.max(np.sum(np.asarray(spec.vertices_local) ** 2, axis=1)))
+            I_min = jnp.min(jnp.diagonal(params["inertia"][i]))
+            m_eff = 1.0 / (1.0 / m_i + L2 / jnp.maximum(I_min, 1e-12))
             omega_max = 0.3 / dt
-            k_i = jnp.minimum(self.k_contact, m_i * omega_max**2)
+            k_i = jnp.minimum(self.k_contact, m_eff * omega_max**2)
             c_i = jnp.minimum(
                 jnp.minimum(self.c_contact, 2.0 * jnp.sqrt(k_i * m_i)),
-                0.3 * m_i / dt,
+                0.3 * m_eff / dt,
             )
 
-            surf = spec.surface
-            if surf.parent == -1:
-                R_p, r_p = ee.R, ee.p
-                v_p, w_p = ee.v, ee.w
-            else:
-                j = surf.parent
-                R_p = quat_to_rot(q[j])
-                r_p, v_p, w_p = r[j], v[j], w[j]
+            for surf in spec.surfaces:
+                if surf.parent == -1:
+                    R_p, r_p = ee.R, ee.p
+                    v_p, w_p = ee.v, ee.w
+                else:
+                    j = surf.parent
+                    R_p = quat_to_rot(q[j])
+                    r_p, v_p, w_p = r[j], v[j], w[j]
 
-            # surface data in world frame
-            n_w = R_p @ jnp.asarray(surf.normal)
-            p_surf_w = r_p + R_p @ jnp.asarray(surf.point)
-            T_w = (R_p @ jnp.asarray(surf.tangents).T).T  # (2,3)
+                # surface data in world frame
+                n_w = R_p @ jnp.asarray(surf.normal)
+                p_surf_w = r_p + R_p @ jnp.asarray(surf.point)
+                T_w = (R_p @ jnp.asarray(surf.tangents).T).T  # (2,3)
 
-            for vert in np.asarray(spec.vertices_local):
-                # runtime CoM shift moves the geometry relative to the CoM
-                p_w = r[i] + R_i @ (jnp.asarray(vert) - params["com_offset"][i])
-                # penetration depth below the surface
-                delta = -jnp.dot(n_w, p_w - p_surf_w)
-                # only contact within the rectangular extent of the surface
-                t_coords = T_w @ (p_w - p_surf_w)
-                inside = jnp.all(jnp.abs(t_coords) <= jnp.asarray(surf.half_extents) + 1e-3)
-                in_contact = jnp.logical_and(delta > 0.0, inside)
+                # all contact vertices of this object at once (k, 3); the
+                # runtime CoM shift moves the geometry rel. to the CoM
+                V = jnp.asarray(np.asarray(spec.vertices_local))
+                p_w = r[i] + (V - params["com_offset"][i]) @ R_i.T
+                rel = p_w - p_surf_w
+                delta = -rel @ n_w  # (k,) penetration depths
+                t_coords = rel @ T_w.T  # (k, 2)
+                inside = jnp.all(
+                    jnp.abs(t_coords) <= jnp.asarray(surf.half_extents) + 1e-3,
+                    axis=1,
+                )
+                # contact within the face extent and not past the owning
+                # box's midplane
+                in_contact = (delta > 0.0) & (delta <= surf.max_depth) & inside
 
-                # relative velocity of the vertex w.r.t. the surface point
-                v_vert = v[i] + jnp.cross(w[i], p_w - r[i])
-                v_parent = v_p + jnp.cross(w_p, p_w - r_p)
+                # relative velocity of each vertex w.r.t. the surface point
+                v_vert = v[i] + jnp.cross(w[i][None, :], p_w - r[i])
+                v_parent = v_p + jnp.cross(w_p[None, :], p_w - r_p)
                 v_rel = v_vert - v_parent
-                v_n = jnp.dot(n_w, v_rel)
-                v_t = v_rel - v_n * n_w
+                v_n = v_rel @ n_w
+                v_t = v_rel - v_n[:, None] * n_w
 
                 f_n_mag = jnp.maximum(0.0, k_i * delta - c_i * v_n)
                 # clamp for numerical robustness under violent commands
-                # (deep penetration -> bounded force, not exploding stiffness)
+                # (deep penetration -> bounded force, not exploding)
                 f_n_mag = jnp.minimum(f_n_mag, self.max_contact_force)
                 f_n_mag = jnp.where(in_contact, f_n_mag, 0.0)
-                f_n = f_n_mag * n_w
 
                 # regularized Coulomb friction with a stability cap: the
                 # regularization acts as a viscous damper with gain
-                # mu f_n / (|v_t| + eps); for light objects that exceeds the
-                # explicit-integration limit, so clamp the effective gain
-                v_t_norm = jnp.linalg.norm(v_t) + self.v_slip
+                # mu f_n / (|v_t| + eps); for light objects that exceeds
+                # the explicit-integration limit, so clamp the gain
+                v_t_norm = jnp.linalg.norm(v_t, axis=1) + self.v_slip
                 gain = params["mu"][i] * f_n_mag / v_t_norm
-                gain = jnp.minimum(gain, 0.3 * m_i / dt)
-                f_t = -gain * v_t
+                gain = jnp.minimum(gain, 0.3 * m_eff / dt)
 
-                f_c = f_n + f_t
-                f_tot = f_tot + f_c
-                tau_tot = tau_tot + jnp.cross(p_w - r[i], f_c)
+                f_c = f_n_mag[:, None] * n_w - gain[:, None] * v_t  # (k, 3)
+                f_tot = f_tot + f_c.sum(axis=0)
+                tau_tot = tau_tot + jnp.cross(p_w - r[i], f_c).sum(axis=0)
                 if surf.parent >= 0:
                     j = surf.parent
-                    reaction_f[j] = reaction_f[j] - f_c
-                    reaction_tau[j] = reaction_tau[j] + jnp.cross(p_w - r[j], -f_c)
+                    reaction_f[j] = reaction_f[j] - f_c.sum(axis=0)
+                    reaction_tau[j] = reaction_tau[j] + jnp.cross(
+                        p_w - r[j], -f_c
+                    ).sum(axis=0)
 
             forces.append(f_tot)
             torques.append(tau_tot)
@@ -355,8 +409,70 @@ class UprightSimulation:
         return np.asarray(out)
 
 
+def _effective_mass(spec):
+    """Worst-case (rotational) effective mass of a contact vertex: a force at
+    lever arm L sees 1/(1/m + L^2/I_min)."""
+    L2 = float(np.max(np.sum(np.asarray(spec.vertices_local) ** 2, axis=1)))
+    I_min = float(np.min(np.diag(np.asarray(spec.inertia_local))))
+    return 1.0 / (1.0 / spec.mass + L2 / max(I_min, 1e-12))
+
+
+def _box_face_surface(box, direction, origin, parent_idx, min_depth=0.03):
+    """ContactSurface for the face of ``box`` whose outward normal best
+    aligns with ``direction``, expressed relative to ``origin``.
+
+    The rectangular extent is recovered from the face's vertex polygon, and
+    ``max_depth`` (penetration beyond which contact releases) is the
+    centroid-to-face distance so far-side vertices are not captured."""
+    direction = np.asarray(direction, dtype=float)
+    n_idx = int(np.argmax(box.normals @ direction))
+    n = box.normals[n_idx]
+    b = float((box.vertices @ n).max())
+    face_verts = box.vertices[box.vertices @ n >= b - 1e-6]
+    from upright_tpu.core.polyhedron import plane_span
+
+    span = plane_span(n)  # (2, 3)
+    centroid = face_verts.mean(axis=0)
+    t = (face_verts - centroid) @ span.T
+    half = np.abs(t).max(axis=0)
+    depth = max(b - float(n @ box.position), min_depth)
+    return ContactSurface(
+        parent=parent_idx, point=centroid - np.asarray(origin, dtype=float),
+        normal=n, half_extents=half, tangents=span, max_depth=depth,
+    )
+
+
+def _object_contact_vertices(obj):
+    """Contact vertices of an object relative to its CoM, in the EE frame at
+    t=0 (== the object's local frame: q_init is identity, the arrangement
+    rotation is baked into obj.box).  Boxes/wedges use their true polyhedron
+    vertices — which fixes the wedge CoM-offset mismatch (the box is
+    positioned at the reference position while obj.com carries the centroid
+    shift, arrangement.py _parse_body_and_box) — and cylinders get top and
+    bottom contact rings."""
+    if obj.shape == "cylinder":
+        tc = obj.shape_config
+        rr, h = float(tc["radius"]), float(tc["height"])
+        ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        ring = np.stack([rr * np.cos(ang), rr * np.sin(ang)], axis=1)
+        local = np.concatenate(
+            [
+                np.concatenate([ring, -h / 2 * np.ones((8, 1))], axis=1),
+                np.concatenate([ring, h / 2 * np.ones((8, 1))], axis=1),
+            ]
+        )
+        world = (obj.box.rotation @ local.T).T + obj.box.position
+        return world - obj.com
+    return obj.box.vertices - obj.com
+
+
 def _build_sim_objects(sim_config):
-    """Arrangement config -> sim object specs with contact surfaces."""
+    """Arrangement config -> sim object specs with contact surfaces.
+
+    Fixture objects (reference simulation.py:484-486: attached rigidly to
+    the tray) are not integrated; instead every face of each fixture becomes
+    an EE-attached contact surface, so fixtures support neighbours laterally
+    through their side faces."""
     arrangement_name = sim_config.get("arrangement", "nothing")
     if arrangement_name == "nothing":
         return []
@@ -373,82 +489,74 @@ def _build_sim_objects(sim_config):
     for c in arr_conf.get("contacts", []):
         mu_map[(c["first"], c["second"])] = float(c["mu"])
 
-    ee_conf = sim_config["objects"]["ee"]
-    ee_half = 0.5 * np.asarray(ee_conf["side_lengths"], dtype=float)
-    ee_pos = np.asarray(ee_conf["position"], dtype=float)
-
-    name_index = {}
-    specs = []
-    dyn_i = 0
+    # every face of every fixture box, attached to the EE frame
+    fixture_faces = {}
     for name, obj in objects.items():
-        if name == "ee":
-            continue
-        if obj.fixture:
-            continue  # fixtures are modeled as part of the parent surface for now
-        type_conf = obj.shape_config
+        if name != "ee" and obj.fixture:
+            fixture_faces[name] = [
+                _box_face_surface(obj.box, n, np.zeros(3), -1)
+                for n in obj.box.normals
+            ]
 
-        # support vertices: bottom-face corners (local frame, rel. CoM)
-        if obj.shape == "cylinder":
-            rr = float(type_conf["radius"])
-            h = float(type_conf["height"])
-            ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
-            verts = np.stack([rr * np.cos(ang), rr * np.sin(ang), -h / 2 * np.ones(8)], axis=1)
-            top_half = np.array([rr / np.sqrt(2), rr / np.sqrt(2)])
-            top_z = h / 2
-        elif obj.shape in ("cuboid", "wedge"):
-            hx, hy, hz = 0.5 * np.asarray(type_conf["side_lengths"], dtype=float)
-            verts = np.array(
-                [[sx * hx, sy * hy, -hz] for sx in (1, -1) for sy in (1, -1)]
-            )
-            top_half = np.array([hx, hy])
-            top_z = hz
-        else:
-            raise ValueError(f"Unsupported sim shape {obj.shape}")
+    dynamic = [
+        (name, obj) for name, obj in objects.items()
+        if name != "ee" and not obj.fixture
+    ]
+    name_index = {name: i for i, (name, _) in enumerate(dynamic)}
 
-        # CoM offset: vertices are stored relative to the CoM
-        com_off = np.asarray(type_conf.get("com_offset", [0, 0, 0]), dtype=float)
-        verts = verts - com_off
+    def _support_face(owner_name, direction):
+        """Face of ``owner`` pointing along ``direction`` (toward the
+        supported object), in the owner's frame convention."""
+        owner = objects[owner_name]
+        if owner_name == "ee" or owner.fixture:
+            return _box_face_surface(owner.box, direction, np.zeros(3), -1)
+        return _box_face_surface(
+            owner.box, direction, owner.com, name_index[owner_name]
+        )
 
-        # parent surface
-        if obj.parent == "ee" or objects[obj.parent].fixture:
-            surface = ContactSurface(
-                parent=-1,
-                point=ee_pos + np.array([0, 0, ee_half[2]]),
-                normal=np.array([0.0, 0, 1]),
-                half_extents=ee_half[:2],
-                tangents=np.array([[1.0, 0, 0], [0, 1.0, 0]]),
-            )
-        else:
-            p_spec = specs[name_index[obj.parent]]
-            p_conf = objects[obj.parent].shape_config
-            if objects[obj.parent].shape == "cylinder":
-                p_half = np.array([p_conf["radius"], p_conf["radius"]])
-                p_top = p_conf["height"] / 2
-            else:
-                phx, phy, phz = 0.5 * np.asarray(p_conf["side_lengths"], dtype=float)
-                p_half = np.array([phx, phy])
-                p_top = phz
-            p_com_off = np.asarray(p_conf.get("com_offset", [0, 0, 0]), dtype=float)
-            surface = ContactSurface(
-                parent=name_index[obj.parent],
-                point=np.array([0, 0, p_top]) - p_com_off,
-                normal=np.array([0.0, 0, 1]),
-                half_extents=p_half,
-                tangents=np.array([[1.0, 0, 0], [0, 1.0, 0]]),
-            )
+    specs = []
+    for name, obj in dynamic:
+        # one surface per declared contact pair this object rests on
+        # (reference semantics: the config's contacts list defines which
+        # pairs interact — an arch bridge touches BOTH pillars, not just
+        # its nominal parent)
+        surfaces = []
+        supported_normals = {}  # owner -> normals already covered
+        for c in contacts:
+            if c.second != name or c.first not in objects:
+                continue
+            # c.normal points into `first`; the face toward `second` is -n.
+            # One ParsedContact exists per contact POINT, so dedup faces by
+            # (owner, normal) to avoid stacking duplicate springs.
+            surf = _support_face(c.first, -np.asarray(c.normal))
+            if any(
+                np.allclose(surf.normal, n)
+                for n in supported_normals.get(c.first, [])
+            ):
+                continue
+            surfaces.append(surf)
+            supported_normals.setdefault(c.first, []).append(surf.normal)
+        if not surfaces:
+            surfaces.append(_support_face(obj.parent, np.array([0.0, 0, 1])))
+
+        # remaining fixture faces: lateral catch surfaces beyond the
+        # declared pairs (skip faces already covered above)
+        for fname, faces in fixture_faces.items():
+            covered = supported_normals.get(fname, [])
+            for face in faces:
+                if any(np.allclose(face.normal, n) for n in covered):
+                    continue
+                surfaces.append(face)
 
         mu = mu_map.get((obj.parent, name), mu_map.get((name, obj.parent), 0.5))
-
-        name_index[name] = dyn_i
-        dyn_i += 1
         specs.append(
             SimObjectSpec(
                 name=name,
                 mass=obj.mass,
                 inertia_local=np.asarray(obj.inertia),
-                vertices_local=verts,
+                vertices_local=_object_contact_vertices(obj),
                 mu=mu,
-                surface=surface,
+                surfaces=surfaces,
                 com_world_ee=np.asarray(obj.com),
                 q_init=np.array([0.0, 0, 0, 1]),
                 fixture=False,
