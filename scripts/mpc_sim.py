@@ -47,8 +47,16 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
     _, r_ee0 = sim.ee_pose(state)
     dyn_obstacles = build_dynamic_obstacles(sim_conf, ee_position=r_ee0)
     num_ctrl_obs = ctrl.problem.dims.num_obstacles
+    # projectile estimation only applies to ballistic obstacles with the
+    # path constraint enabled; sudden/controlled obstacles feed their state
+    # directly (the reference gets it from the obstacle's joint state)
+    use_projectile = bool(
+        config["controller"].get("projectile_path_constraint", {}).get("enabled")
+    )
     proj_tracker = (
-        ProjectileTracker(dt_ctrl) if (dyn_obstacles and num_ctrl_obs) else None
+        ProjectileTracker(dt_ctrl)
+        if (dyn_obstacles and num_ctrl_obs and use_projectile)
+        else None
     )
 
     logger = log if log is not None else DataLogger(timestep=0.05)
@@ -72,6 +80,12 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
                 poses = poses.copy()
                 poses[:, 7] = s_flag
                 ctrl.target = ctrl.target.replace(poses=jnp.asarray(poses))
+        elif num_ctrl_obs and dyn_obstacles:
+            tails = [
+                dyn_obstacles[i].state(t) if i < len(dyn_obstacles) else np.zeros(9)
+                for i in range(num_ctrl_obs)
+            ]
+            x = np.concatenate([x] + tails)
         elif num_ctrl_obs:
             x = np.concatenate([x] + [np.zeros(9)] * num_ctrl_obs)
         assert not np.isnan(x).any(), "NaN in controller state"
@@ -85,15 +99,26 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
 
         state = sim.step(state, v_cmd, n_steps=n_sub)
         t += dt_ctrl
+        for obs in dyn_obstacles:
+            obs.step(t)  # advance controlled-obstacle velocity servos
 
         if logger.ready(t):
             R_we, r_ew = sim.ee_pose(state)
             cons = ctrl.problem.evaluate_constraints(x, u, t, ctrl.target)
+            diag = ctrl.problem.diagnostics(x, u, t, ctrl.target)
+            from upright_tpu.core.math import rot_to_quat
+
+            ee = ctrl.problem.robot.ee_state(
+                np.asarray(x)[: ctrl.problem.dims.robot_x]
+            )
             entry = {
                 "t": t,
                 "x": x,
                 "u": np.asarray(u),
+                "cmd_vel": v_cmd,
                 "r_ew_w": r_ew,
+                "Q_we": np.asarray(rot_to_quat(R_we)),
+                "v_ew_w": np.asarray(ee.v_ew_w),
                 "constraint_eq": np.asarray(cons["equality"]),
                 "constraint_ineq_min": float(np.min(np.asarray(cons["inequality"])))
                 if cons["inequality"].shape[0]
@@ -101,7 +126,15 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
                 "solve_time": ctrl.replanning_durations[-1]
                 if ctrl.replanning_durations
                 else 0.0,
+                "orn_err": float(diag["orn_err"]),
+                "ddC_we_norm": float(diag["ddC_we_norm"]),
+                "cost": float(diag["cost"]),
             }
+            if ctrl.problem.dims.f:
+                entry["contact_forces"] = np.asarray(diag["contact_forces"])
+            # per-named-constraint values (controller_python_interface.h:31-88)
+            for name, _n in ctrl.problem.ineq_groups:
+                entry[name] = np.asarray(cons[name])
             if sim.n_obj:
                 r_obj, q_obj = sim.object_poses(state)
                 entry["r_ow_w"] = r_obj

@@ -97,6 +97,11 @@ class DataPlotter:
         import matplotlib.pyplot as plt
 
         t = self.data["t"]
+        # ~20 canned families, parity with the reference's DataPlotter
+        # (logging.py:72-449 + plot_all:333-449): state split, inputs,
+        # commanded vs integrated velocity, EE pose/orientation/velocity,
+        # per-object error, every named constraint family, contact forces,
+        # solver cost/time, alignment diagnostics
         panels = []
         if "x" in self.data:
             nq = self.data["x"].shape[1] // 3
@@ -105,14 +110,40 @@ class DataPlotter:
             panels.append(("joint accelerations", self.data["x"][:, 2 * nq : 3 * nq]))
         if "u" in self.data:
             panels.append(("inputs (jerk + forces)", self.data["u"]))
+        if "cmd_vel" in self.data:
+            panels.append(("commanded velocities", self.data["cmd_vel"]))
         if "r_ew_w" in self.data:
             panels.append(("EE position", self.data["r_ew_w"]))
+        if "Q_we" in self.data:
+            panels.append(("EE orientation (quat)", self.data["Q_we"]))
+        if "v_ew_w" in self.data:
+            panels.append(("EE velocity", self.data["v_ew_w"]))
+        if "r_ow_w" in self.data:
+            r_ow = np.asarray(self.data["r_ow_w"])
+            for i in range(r_ow.shape[1]):
+                panels.append((f"object {i} position", r_ow[:, i]))
         if "object_displacement" in self.data:
             panels.append(("object displacement", self.data["object_displacement"]))
         if "solve_time" in self.data:
             panels.append(("solve time [s]", self.data["solve_time"]))
         if "constraint_eq" in self.data:
-            panels.append(("balance equality residuals", self.data["constraint_eq"]))
+            panels.append(("object dynamics constraints", self.data["constraint_eq"]))
+        for family, title in [
+            ("contact_force_constraints", "contact force (cone) constraints"),
+            ("state_limits", "state limit margins"),
+            ("input_limits", "input limit margins"),
+            ("ee_box_constraints", "EE box constraint margins"),
+            ("alignment_constraints", "inertial alignment constraints"),
+            ("collision_pair_distances", "obstacle distances"),
+            ("projectile_distances", "projectile distances"),
+            ("contact_forces", "contact forces"),
+            ("orn_err", "tray normal vs total acceleration [rad]"),
+            ("ddC_we_norm", "ddC_we norm"),
+            ("cost", "stage cost"),
+            ("sa_dist", "distance outside support area"),
+        ]:
+            if family in self.data:
+                panels.append((title, self.data[family]))
 
         n = len(panels)
         ncols = 2
