@@ -46,9 +46,25 @@ def main():
     parser.add_argument("--parallel-scan", action="store_true",
                         help="use the O(log N) associative-scan Riccati "
                              "backward pass (long horizons)")
+    parser.add_argument("--protocol", choices=["ral25"], default=None,
+                        help="run a canned experiment protocol: ral25 = "
+                             "15 CoM x 3 inertia x waypoints with worst-case "
+                             "inertia synthesis (planning_sim_loop.py)")
     args = parser.parse_args()
 
     config = cfg.load_config(args.config)
+
+    if args.protocol == "ral25":
+        from upright_tpu.robust.planning import ral25_protocol
+
+        com_boxes = [args.com_box] if args.com_box else None
+        out = ral25_protocol(
+            config, com_half_extents=com_boxes,
+            duration=args.duration, iterations=args.iterations,
+            kp=args.kp, use_parallel_scan=args.parallel_scan,
+        )
+        print(json.dumps(out, indent=2))
+        return
 
     n_obj = 1  # single-object robust experiments, like the reference
     com_boxes = [args.com_box] * n_obj if args.com_box else None

@@ -164,22 +164,33 @@ def tracking_sweep(sim, plan: OfflinePlan, param_batch, kp=10.0,
     return np.asarray(jax.vmap(displacement)(finals))
 
 
-def make_param_sweep(sim, com_offsets=None, mass_scales=None, inertia_scales=None):
+def make_param_sweep(sim, com_offsets=None, mass_scales=None, inertia_scales=None,
+                     inertias=None):
     """Cartesian parameter sweep matching the reference's 15 CoM x 3 inertia
-    grid (:548-655), as a batched pytree for tracking_sweep."""
+    grid (:548-655), as a batched pytree for tracking_sweep.
+
+    inertias: optional per-CoM-offset (3,3) inertia overrides (e.g. the
+    worst-case synthesis output); scaled by inertia_scales like the nominal.
+    """
     base = sim.default_params()
     com_offsets = np.asarray(com_offsets if com_offsets is not None else [[0.0, 0, 0]])
     mass_scales = np.asarray(mass_scales if mass_scales is not None else [1.0])
     inertia_scales = np.asarray(inertia_scales if inertia_scales is not None else [1.0])
 
     entries = []
-    for co in com_offsets:
+    for ci, co in enumerate(com_offsets):
+        if inertias is not None:
+            I_base = jnp.broadcast_to(
+                jnp.asarray(inertias[ci]), base["inertia"].shape
+            )
+        else:
+            I_base = base["inertia"]
         for ms in mass_scales:
             for is_ in inertia_scales:
                 entries.append(
                     {
                         "mass": base["mass"] * ms,
-                        "inertia": base["inertia"] * is_,
+                        "inertia": I_base * is_,
                         "mu": base["mu"],
                         "com_offset": jnp.broadcast_to(
                             jnp.asarray(co), base["com_offset"].shape
@@ -187,3 +198,88 @@ def make_param_sweep(sim, com_offsets=None, mass_scales=None, inertia_scales=Non
                     }
                 )
     return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
+
+
+def ral25_protocol(config, com_half_extents=None, waypoints=None,
+                   inertia_scales=(1.0, 0.5, 0.1), iterations=60,
+                   duration=None, kp=10.0, approx_bounds=False,
+                   use_parallel_scan=False, failure_threshold=0.5):
+    """The reference robust experiment, end-to-end (planning_sim_loop.py
+    :548-655 + process_sim_runs.py): for each waypoint, solve ONE offline
+    robust plan (8 CoM-vertex scenarios in one OCP), then track it under the
+    full 15-CoM x len(inertia_scales) grid of true inertial parameters with
+    per-CoM **worst-case inertias** (synthesis.max_min_eig_inertia) — the
+    whole 45-run sweep per waypoint is one vmapped rollout.
+
+    com_half_extents: CoM-box half extents per object; defaults to the
+    config's ``bounds`` schema (robust/parsing.py:10-101 equivalent).
+    Returns a dict with per-waypoint failure counts and displacements.
+    """
+    import copy as _copy
+
+    from upright_tpu.robust.synthesis import (
+        com_offset_grid,
+        max_min_eig_inertia,
+        parse_robust_bounds,
+    )
+    from upright_tpu.sim.simulation import UprightSimulation
+
+    ctrl_conf = config["controller"]
+    if com_half_extents is None:
+        com_half_extents = parse_robust_bounds(ctrl_conf, approx=approx_bounds)
+        if com_half_extents is None:
+            raise ValueError(
+                "no CoM bounds: pass com_half_extents or add a bounds block "
+                "to the object config"
+            )
+    if waypoints is None:
+        waypoints = [
+            np.asarray(wp.get("position", [0, 0, 0]), dtype=float)
+            for wp in ctrl_conf.get("waypoints", [{}])
+        ]
+
+    sim = UprightSimulation(config["simulation"])
+    assert sim.n_obj >= 1, "protocol needs at least one balanced object"
+    spec0 = sim.specs[0]
+    # the object's bounding-box half extents for the vertex-mass synthesis
+    obj_half = np.abs(np.asarray(spec0.vertices_local)).max(axis=0)
+
+    com_offsets = com_offset_grid(np.asarray(com_half_extents[0]))
+    worst_inertias = [
+        np.diag(max_min_eig_inertia(obj_half, co, mass=spec0.mass))
+        for co in com_offsets
+    ]
+
+    results = []
+    for wp in waypoints:
+        wp_config = _copy.deepcopy(config)
+        wp_config["controller"]["waypoints"] = [
+            {"time": 0, "position": list(np.asarray(wp)), "orientation": [0, 0, 0, 1]}
+        ]
+        prob, sol, plan = plan_robust(
+            wp_config, com_half_extents=com_half_extents,
+            duration=duration, iterations=iterations,
+            use_parallel_scan=use_parallel_scan,
+        )
+        sweep = make_param_sweep(
+            sim, com_offsets=com_offsets,
+            inertia_scales=list(inertia_scales),
+            inertias=worst_inertias,
+        )
+        disp = tracking_sweep(sim, plan, sweep, kp=kp)
+        results.append(
+            {
+                "waypoint": list(np.asarray(wp, dtype=float)),
+                "runs": int(disp.shape[0]),
+                "failures": int((disp.max(axis=1) > failure_threshold).sum()),
+                "max_displacement_m": float(disp.max()),
+                "plan_eq_violation": float(sol.eq_viol),
+            }
+        )
+    total = {
+        "protocol": "ral25",
+        "runs": sum(r["runs"] for r in results),
+        "failures": sum(r["failures"] for r in results),
+        "waypoints": results,
+    }
+    return total
