@@ -31,7 +31,14 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--duration", type=float, default=5.0)
     parser.add_argument("--rate", type=float, default=125.0)
+    parser.add_argument(
+        "--time-scale", type=float, default=1.0,
+        help="sim seconds per wall second; < 1 runs the whole pipeline in "
+        "slow motion for hosts whose solver/plant cannot keep real time "
+        "(CPU-hosted runs; on TPU leave at 1.0)",
+    )
     args = parser.parse_args()
+    scale = args.time_scale
 
     config = cfg.load_config(args.config)
     sim = UprightSimulation(config["simulation"])
@@ -40,7 +47,7 @@ def main():
 
     state = sim.initial_state()
     x0 = np.concatenate([np.asarray(state.q), np.zeros(2 * nq)])
-    executor = NativeExecutor(nq, rate=args.rate, x0=x0)
+    executor = NativeExecutor(nq, rate=args.rate, x0=x0, time_scale=scale)
 
     planner = AsyncPlanner(ctrl, min_update_time=0.01)
     planner.set_observation(0.0, x0)
@@ -76,8 +83,8 @@ def main():
                 v_cmd = np.zeros(nq)
             state = sim.step(state, v_cmd, n_steps=max(1, int(dt / sim.timestep)))
             t += dt
-            # pace to wall clock
-            lag = (t_wall0 + t) - time.perf_counter()
+            # pace to wall clock (scaled: 1 sim second = 1/scale wall seconds)
+            lag = (t_wall0 + t / scale) - time.perf_counter()
             if lag > 0:
                 time.sleep(lag)
     finally:

@@ -126,7 +126,8 @@ struct Seqlock {
 };
 
 struct Observation {
-    double t = 0;
+    double t = 0;       // caller (plant) timestamp
+    double wall = 0;    // CLOCK_MONOTONIC at post time (clock slaving)
     Vec q, v;  // preallocated at create; only memcpy'd afterwards
 };
 
@@ -270,10 +271,18 @@ struct Executor {
     std::atomic<int> pol_cur{-1};
     Vec cmd_buf;
     double cmd_time = 0;
+    double last_tick_time = -1;  // caller time of the previous tick (KF step)
+    double last_obs_time = -1e300;  // timestamp of the last CORRECTED obs
 
     std::atomic<bool> running{false};
     std::atomic<bool> braked{false};
     double time_offset = 0;  // maps CLOCK_MONOTONIC to the caller's clock
+    // slow-motion factor: caller (sim) seconds per wall second.  The loop
+    // still ticks at `rate` Hz wall, but policy-evaluation time, the KF
+    // step, and the command integration horizon all advance in scaled
+    // (caller) time, so the executor stays consistent with a plant that
+    // cannot run real time (CPU-hosted sims of the TPU deployment).
+    double time_scale = 1.0;
     std::atomic<uint64_t> ticks{0};
     std::atomic<uint64_t> overruns{0};
     std::atomic<uint64_t> policy_switches{0};
@@ -286,24 +295,54 @@ struct Executor {
     Policy pol_local;
     double pol_local_t0 = -1;
 
-    void tick(double t_now) {
+    void tick(double t_now, bool slave_to_obs = false) {
         // 1. observation
         Observation o;
         o.q.resize(nq);
         o.v.resize(nq);
         bool have_obs = obs_lock.read([&] {
             o.t = obs_buf.t;
+            o.wall = obs_buf.wall;
             std::memcpy(o.q.data(), obs_buf.q.data(), nq * sizeof(double));
             std::memcpy(o.v.data(), obs_buf.v.data(), nq * sizeof(double));
         });
         if (!have_obs) return;
 
-        // 2. KF
+        // Clock slaving: on the threaded loop the policy-evaluation time is
+        // extrapolated from the PLANT's latest timestamp rather than mapped
+        // from the wall clock, so a plant that falls behind real time (a
+        // CPU-hosted sim contending with the planner) cannot accumulate a
+        // phase error between the policy query time and the plant state —
+        // drift is bounded by one observation interval.  On real hardware
+        // observations arrive at wall rate and this reduces to the wall
+        // clock with jitter <= one interval (t_now is the raw monotonic
+        // time in that mode; `o.wall` was stamped with the same clock).
+        if (slave_to_obs) t_now = o.t + time_scale * (t_now - o.wall);
+
+        // KF step = the ACTUAL caller-time elapsed since the previous tick
+        // (clamped).  A fixed per-tick step would integrate the state at the
+        // tick rate even when the plant's clock advances slower than the
+        // wall (sim hosts), over-propagating the estimate.
+        double h = t_now - last_tick_time;
+        const double h_nom = period * time_scale;
+        if (last_tick_time < 0 || h < 0) h = h_nom;
+        if (h > 4 * h_nom) h = 4 * h_nom;
+        last_tick_time = t_now;
+        kf.dt = h;
+
+        // 2. KF: predict every tick, correct ONCE per NEW measurement.
+        // When several ticks elapse per observation (slow-motion sim hosts,
+        // or a real sensor slower than the loop) re-correcting with the
+        // same stale sample drags the estimate back toward the old state
+        // each tick and destabilizes the tracking feedback.
         kf.predict(last_u);
-        Vec y(2 * nq);
-        std::memcpy(y.data(), o.q.data(), nq * sizeof(double));
-        std::memcpy(y.data() + nq, o.v.data(), nq * sizeof(double));
-        kf.correct(y);
+        if (o.t != last_obs_time) {
+            last_obs_time = o.t;
+            Vec y(2 * nq);
+            std::memcpy(y.data(), o.q.data(), nq * sizeof(double));
+            std::memcpy(y.data() + nq, o.v.data(), nq * sizeof(double));
+            kf.correct(y);
+        }
 
         // 3. policy (copy the published slot into preallocated local storage;
         // the slot seqlock rejects torn copies if the writer laps the reader)
@@ -365,9 +404,10 @@ struct Executor {
         // 5. command
         Vec v_cmd(nq, 0.0);
         if (!braked.load(std::memory_order_acquire)) {
+            const double hp = period * time_scale;  // caller-time tick period
             for (int i = 0; i < nq; ++i) {
                 const double v = kf.x[nq + i], a = kf.x[2 * nq + i];
-                v_cmd[i] = v + period * a + 0.5 * period * period * u[i];
+                v_cmd[i] = v + hp * a + 0.5 * hp * hp * u[i];
             }
             last_u = u;
         } else {
@@ -391,7 +431,7 @@ struct Executor {
         const long period_ns = (long)(period * 1e9);
         while (running.load(std::memory_order_acquire)) {
             const double t0 = now_seconds();
-            tick(t0 + time_offset);
+            tick(t0, /*slave_to_obs=*/true);
             const double elapsed = now_seconds() - t0;
             if (elapsed > max_tick_seconds) max_tick_seconds = elapsed;
             if (elapsed > 1.5 * period)  // mrt_node.cpp:212-214
@@ -448,8 +488,10 @@ void upright_executor_set_state_limits(void* h, const double* lb,
 void upright_executor_post_observation(void* h, double t, const double* q,
                                        const double* v) {
     auto* ex = static_cast<Executor*>(h);
+    const double wall = Executor::now_seconds();
     ex->obs_lock.write([&] {
         ex->obs_buf.t = t;
+        ex->obs_buf.wall = wall;
         std::memcpy(ex->obs_buf.q.data(), q, ex->nq * sizeof(double));
         std::memcpy(ex->obs_buf.v.data(), v, ex->nq * sizeof(double));
     });
@@ -501,8 +543,17 @@ void upright_executor_start_at(void* h, double t_now) {
     // align the executor's clock: monotonic 'now' corresponds to t_now on the
     // caller's timeline (policies/observations are stamped in that timeline)
     auto* ex = static_cast<Executor*>(h);
-    ex->time_offset = t_now - Executor::now_seconds();
+    ex->time_offset = t_now - ex->time_scale * Executor::now_seconds();
     upright_executor_start(h);
+}
+
+void upright_executor_set_time_scale(void* h, double scale) {
+    // slow-motion: caller (sim) seconds per wall second.  Must be set before
+    // start; rescales the KF step to the caller-time tick period so state
+    // propagation matches the plant's timeline.
+    auto* ex = static_cast<Executor*>(h);
+    ex->time_scale = scale;
+    ex->kf.dt = ex->period * scale;
 }
 
 void upright_executor_stop(void* h) {

@@ -44,6 +44,7 @@ def _load():
     lib.upright_executor_get_state_estimate.argtypes = [ctypes.c_void_p, dp]
     lib.upright_executor_start.argtypes = [ctypes.c_void_p]
     lib.upright_executor_start_at.argtypes = [ctypes.c_void_p, d]
+    lib.upright_executor_set_time_scale.argtypes = [ctypes.c_void_p, d]
     lib.upright_executor_stop.argtypes = [ctypes.c_void_p]
     lib.upright_executor_tick.argtypes = [ctypes.c_void_p, d]
     lib.upright_executor_braked.argtypes = [ctypes.c_void_p]
@@ -72,7 +73,7 @@ class NativeExecutor:
     """Real-time tracking executor backed by the C++ library."""
 
     def __init__(self, nq, rate=125.0, kf_init_var=0.1, kf_proc_var=10.0,
-                 kf_meas_var=1e-3, x0=None):
+                 kf_meas_var=1e-3, x0=None, time_scale=1.0):
         self.nq = nq
         self.nx = 3 * nq
         self.rate = rate
@@ -84,6 +85,10 @@ class NativeExecutor:
             nq, rate, kf_init_var, kf_proc_var, kf_meas_var, x0_p
         )
         self._lib = lib
+        if time_scale != 1.0:
+            # slow motion: sim seconds per wall second (plants that cannot
+            # run real time, e.g. CPU-hosted sims of the TPU deployment)
+            lib.upright_executor_set_time_scale(self._h, float(time_scale))
 
     def set_state_limits(self, lb, ub, margin=0.1):
         lb_a, lb_p = _as_ptr(lb)

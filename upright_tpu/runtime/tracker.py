@@ -167,8 +167,11 @@ class AsyncPlanner:
             self.ctrl.warmstart(t, x)
         else:
             params = self.ctrl.problem.stage_params(t, self.ctrl.target)
+            # whole-node warm-start shift (same policy as ControllerManager
+            # .step: sub-interval replans keep the feasible warm start)
+            shift = round((t - self.ctrl.last_plan_time) / self.ctrl.problem.dt)
             t_start = time.perf_counter()
-            sol = self.ctrl._solve(params, x, self.ctrl.state)
+            sol = self.ctrl._solve(params, x, self.ctrl.state, shift)
             import jax
 
             jax.block_until_ready(sol.state.X)
