@@ -6,10 +6,14 @@ pink bottle, N = 20 shooting nodes over a 2.0 s horizon, one warm-started
 SQP iteration per solve — the reference's real-time configuration
 (upright_cmd/config/controller.yaml:13,33,55-56; ≤10 ms/solve budget).
 
-The benchmark uses the 4-candidate line search (BENCH_LS=4): verified to give
-bit-identical closed-loop behavior to the full 8-candidate ladder on this
-(nominal tracking) workload; scenarios with sudden constraint activation
-(thrown obstacles) use the full ladder in production configs.
+The benchmark uses the 4-candidate line search (BENCH_LS=4): bit-identical
+to the full 8-candidate ladder on this warm-started nominal workload —
+asserted by tests/test_solve_quality.py::test_line_search_4_equals_8_ur10;
+scenarios with sudden constraint activation (thrown obstacles) use the full
+ladder in production configs.
+
+Optional: BENCH_PROFILE=<dir> captures a jax.profiler trace of the timed
+region (SURVEY build item 10).
 
 Prints ONE JSON line:
   {"metric": "mpc_solves_per_s", "value": N, "unit": "solves/s", "vs_baseline": N/10000}
@@ -68,21 +72,35 @@ def main():
     states = sol.state
 
     # timed region: repeated warm-started re-solves
+    import contextlib
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    prof_ctx = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
     REPS = 10
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        sol = solve(params, x0s, sol.state)
-    jax.block_until_ready(sol.state.X)
-    elapsed = time.perf_counter() - t0
+    with prof_ctx:
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            sol = solve(params, x0s, sol.state)
+        jax.block_until_ready(sol.state.X)
+        elapsed = time.perf_counter() - t0
 
     solves_per_s = BATCH * REPS / elapsed
 
-    # p99 latency of a single-instance solve (real-time budget check)
-    single = jax.jit(
-        lambda p, x, s: __import__("upright_tpu.solver.al", fromlist=["solve"]).solve(
-            prob.ocp, al_cfg, p, x, s
-        )
-    )
+    # p99 latency of a single-instance solve (real-time budget check).
+    # Two numbers (VERDICT r1: separate dispatch from compute):
+    #  - single_solve_p99_ms: end-to-end per-dispatch latency, including the
+    #    host->device dispatch overhead (the axon relay adds ~40 ms/dispatch
+    #    in this environment; on a local chip this collapses to ~the device
+    #    time).
+    #  - single_replan_device_ms: per-replan *device* time measured by
+    #    running M sequential warm-started replans inside ONE device
+    #    computation (lax.scan over solves, the steady-state MPC loop) and
+    #    differencing two loop lengths to cancel the constant dispatch cost.
+    from upright_tpu.solver.al import solve as al_solve
+
+    single = jax.jit(lambda p, x, s: al_solve(prob.ocp, al_cfg, p, x, s))
     p1 = prob.stage_params(0.0)
     s1 = jax.tree.map(lambda x: x[0], sol.state)
     one = single(p1, x0s[0], s1)
@@ -95,6 +113,40 @@ def main():
         lat.append(time.perf_counter() - t1)
     p99_ms = float(np.percentile(np.asarray(lat), 99) * 1e3)
 
+    def replan_loop(M):
+        def f(p, x, s):
+            def body(st, _):
+                return al_solve(prob.ocp, al_cfg, p, x, st).state, ()
+
+            final, _ = jax.lax.scan(body, s, None, length=M)
+            return final
+
+        return jax.jit(f)
+
+    def timed(fn, reps=20):
+        out = fn(p1, x0s[0], one.state)
+        jax.block_until_ready(out.X)
+        ts = []
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            out = fn(p1, x0s[0], one.state)
+            jax.block_until_ready(out.X)
+            ts.append(time.perf_counter() - t1)
+        return np.asarray(ts)
+
+    # modest loop length keeps the scanned-solve compile fast; the
+    # difference still cancels the constant dispatch cost exactly
+    M_LONG = int(os.environ.get("BENCH_REPLAN_M", 64))
+    t_short = timed(replan_loop(1))
+    t_long = timed(replan_loop(M_LONG))
+    # medians cancel scheduling noise; the difference removes dispatch cost
+    device_ms = float(
+        (np.median(t_long) - np.median(t_short)) / (M_LONG - 1) * 1e3
+    )
+    # p99 across repetitions of the long loop, per replan (upper bound on
+    # steady-state per-replan device time)
+    device_p99_ms = float(np.percentile(t_long, 99) / M_LONG * 1e3)
+
     print(
         json.dumps(
             {
@@ -106,6 +158,9 @@ def main():
                     "batch": BATCH,
                     "device": str(jax.devices()[0].platform),
                     "single_solve_p99_ms": round(p99_ms, 3),
+                    "single_replan_device_ms": round(device_ms, 3),
+                    "single_replan_device_p99_ms": round(device_p99_ms, 3),
+                    "realtime_budget_ms": 25.0,
                     "horizon_nodes": prob.ocp.N,
                     "nx": prob.ocp.nx,
                     "nu": prob.ocp.nu,
