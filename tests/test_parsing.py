@@ -155,3 +155,36 @@ def test_fixture_objects_excluded():
     assert names == ["bottle"]
     # but its contact with the box still exists (side contact)
     assert model.num_contacts == 8
+
+
+def test_sphere_shape_parses():
+    """Sphere objects parse with the reference's radius/2 box approximation
+    (simulation.py:194-205) and solid-sphere inertia."""
+    conf = {
+        "objects": {
+            "ee": {"shape": "cuboid", "side_lengths": [0.3, 0.3, 0.02],
+                   "position": [0, 0, 0]},
+            "ball": {"shape": "sphere", "radius": 0.04, "mass": 0.5},
+        },
+        "arrangements": {
+            "ball_only": {
+                "objects": [{"name": "ball1", "type": "ball", "parent": "ee"}],
+                "contacts": [{"first": "ee", "second": "ball1", "mu": 0.5}],
+            }
+        },
+        "balancing": {"arrangement": "ball_only", "frictionless": True},
+    }
+    model, names, objects, contacts = cfg.parse_control_objects(conf)
+    assert names == ["ball1"]
+    assert model.num_contacts == 4  # box-approximation corners
+    mass = float(model.params[0, 0])
+    com = np.asarray(model.params[0, 1:4]) / mass
+    assert mass == pytest.approx(0.5)
+    # the r/2 half-extent box rests on the tray surface (z=0.01 above origin
+    # is the tray top): centroid at half-extent 0.02 above it
+    assert com[2] == pytest.approx(0.01 + 0.02)
+    # solid-sphere inertia about the CoM: 2/5 m r^2
+    from upright_tpu.core.rigid_body import params_to_body
+
+    _m, _c, inertia = params_to_body(model.params[0])
+    assert np.allclose(np.asarray(inertia), 0.4 * 0.5 * 0.04**2 * np.eye(3), atol=1e-12)

@@ -56,6 +56,11 @@ def _local_half_extents(type_conf):
         r, h = type_conf["radius"], type_conf["height"]
         w = np.sqrt(2) * r
         return 0.5 * np.array([w, w, h])
+    if shape == "sphere":
+        # reference simulation.py:194-205: spheres are approximated by the
+        # box with half extents radius/2 for support-area purposes
+        r = type_conf["radius"]
+        return 0.5 * np.array([r, r, r])
     raise ValueError(f"Unsupported shape type: {shape}")
 
 
@@ -73,6 +78,8 @@ def _parse_box(type_conf, position=None, rotation=None):
     elif shape == "cylinder":
         rotation = rotation @ np.asarray(core_math.rotz(np.pi / 4))
         box = poly.ConvexPolyhedron.box(h)
+    elif shape == "sphere":
+        box = poly.ConvexPolyhedron.box(h)
     else:
         raise ValueError(f"Unsupported shape type: {shape}")
     return box.transform(translation=position, rotation=rotation)
@@ -88,6 +95,8 @@ def _parse_inertia(mass, type_conf):
     if shape == "wedge":
         D, C = core_math.wedge_inertia_matrix(mass, type_conf["side_lengths"])
         return C @ D @ C.T
+    if shape == "sphere":
+        return core_math.sphere_inertia_matrix(mass, type_conf["radius"])
     raise ValueError(f"Unsupported shape type {shape}.")
 
 

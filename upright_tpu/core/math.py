@@ -273,6 +273,12 @@ def cuboid_inertia_matrix(mass, side_lengths):
     return mass * np.diag([xx, yy, zz]) / 12.0
 
 
+def sphere_inertia_matrix(mass, radius):
+    """Inertia of a solid sphere (reference math.py solid_sphere_inertia)."""
+    xx = 0.4 * mass * radius**2
+    return np.diag([xx, xx, xx])
+
+
 def wedge_inertia_matrix(mass, side_lengths):
     """Inertia of a right-triangular wedge about its CoM (reference math.py:123-141).
 
