@@ -43,6 +43,9 @@ def main():
     parser.add_argument("--inertia-scales", nargs="*", type=float,
                         default=[0.5, 1.0, 2.0])
     parser.add_argument("--kp", type=float, default=10.0)
+    parser.add_argument("--realizable", action="store_true",
+                        help="also verify over the density-realizable "
+                             "(moment-SDP) parameter set")
     parser.add_argument("--parallel-scan", action="store_true",
                         help="use the O(log N) associative-scan Riccati "
                              "backward pass (long horizons)")
@@ -115,18 +118,40 @@ def main():
         )
     viol = rv.verify_plan(A, states, np.asarray(prob.gravity), pset)
 
-    print(
-        json.dumps(
-            {
-                "runs": n_runs,
-                "failures": failures,
-                "max_displacement_m": float(disp.max()),
-                "worst_case_cwc_violation": float(viol.max()),
-                "plan_eq_violation": float(sol.eq_viol),
-            },
-            indent=2,
+    out = {
+        "runs": n_runs,
+        "failures": failures,
+        "max_displacement_m": float(disp.max()),
+        "worst_case_cwc_violation": float(viol.max()),
+        "plan_eq_violation": float(sol.eq_viol),
+    }
+
+    if args.realizable:
+        # density-realizable (moment-SDP) worst case: tighter than the
+        # vertex set, maximized over all mass densities on the object's
+        # bounding box with CoM in the com-box
+        # (process_sim_runs.py:134-250 equivalent, batched on device)
+        from upright_tpu.robust.realizable import (
+            RealizableSet,
+            verify_plan_realizable,
         )
-    )
+
+        com_half = np.asarray(args.com_box if args.com_box else [0.0, 0.0, 0.0])
+        box = obj.box
+        rsetw = RealizableSet(
+            lower=box.position - np.abs(box.vertices - box.position).max(axis=0),
+            upper=box.position + np.abs(box.vertices - box.position).max(axis=0),
+            com_lower=np.asarray(obj.com) - com_half - 1e-4,
+            com_upper=np.asarray(obj.com) + com_half + 1e-4,
+            mass=obj.mass,
+        )
+        Ys = [
+            rv.inertial_regressor(*s, np.asarray(prob.gravity)) for s in states
+        ]
+        viol_r = verify_plan_realizable(A, Ys, rsetw)
+        out["worst_case_cwc_violation_realizable"] = float(viol_r.max())
+
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
