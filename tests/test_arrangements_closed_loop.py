@@ -19,13 +19,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 import upright_tpu.config as cfg
 
 
-def _ur10_with_arrangement(arrangement, waypoint=(-0.2, 0.4, 0.2)):
+def _ur10_with_arrangement(arrangement, waypoint=(-0.25, -0.45, 0.25),
+                           frictionless=True):
+    """UR10 demo config with a different arrangement.
+
+    The default waypoint matches the shipped demo: the UR10 home pose is
+    close to full extension, so waypoints must move back toward the base
+    (+y waypoints from here are unreachable for the fixed arm)."""
     path = cfg.resolve_package_path(
         {"package": "configs", "path": "demos/ur10_demo.yaml"}
     )
     config = copy.deepcopy(cfg.load_config(path))
     config["simulation"]["arrangement"] = arrangement
     config["controller"]["balancing"]["arrangement"] = arrangement
+    config["controller"]["balancing"]["frictionless"] = frictionless
     config["controller"]["waypoints"] = [
         {"time": 0, "position": list(waypoint), "orientation": [0, 0, 0, 1]}
     ]
@@ -63,17 +70,25 @@ def test_closed_loop_cups():
 @pytest.mark.slow
 def test_closed_loop_fixture():
     """Box next to a rigid fixture block: the fixture's side face supports
-    the box laterally (reference simulation.py:484-486,635-653)."""
-    _run(_ur10_with_arrangement("simulation_box_with_fixture"))
+    the box laterally (reference simulation.py:484-486,635-653).  Frictional
+    mode per the reference's fixture experiments
+    (ral23/simulations/full_with_fixture.yaml: frictionless: false)."""
+    _run(_ur10_with_arrangement("simulation_box_with_fixture",
+                                frictionless=False))
 
 
 @pytest.mark.slow
 def test_closed_loop_wedge():
-    """Block riding a wedge's sloped top face.  Regularized friction creeps
-    a few mm/s at this near-critical slope (tan 15deg = 0.268 vs mu = 0.3),
-    so the displacement tolerance is looser."""
+    """Block riding a wedge's sloped top face.  Frictional controller: the
+    arrangement's mu_margin (0.1683, matching the reference) leaves exactly
+    the minimum feasible friction, which requires the controller to tilt
+    the tray ~7.5 deg — the RAL23 wedge experiment's point.  The sim's true
+    mu = 0.3 gives margin over the controller's marginal model, but
+    regularized friction creeps at this near-critical slope, so the
+    displacement tolerance is looser."""
     _run(
-        _ur10_with_arrangement("wedge", waypoint=(-0.15, 0.3, 0.15)),
+        _ur10_with_arrangement("wedge", waypoint=(-0.15, -0.3, 0.15),
+                               frictionless=False),
         disp_tol=0.06,
     )
 

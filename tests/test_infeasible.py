@@ -82,3 +82,35 @@ def test_infeasible_box_does_not_poison_other_groups(infeasible_solution):
     _, sol = infeasible_solution
     assert float(sol.eq_viol) < 1e-2
     assert float(sol.defect) < 1e-6
+
+
+@pytest.mark.slow
+def test_unreachable_target_stays_bounded():
+    """An unreachable waypoint (beyond the arm's workspace) must degrade
+    gracefully: bounded joint velocities, finite states, object kept
+    balanced — not the dual-windup runaway that an uncapped lam produces
+    (ALConfig.lam_max safeguard)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from mpc_sim import run_closed_loop
+
+    path = cfg.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    config = copy.deepcopy(cfg.load_config(path))
+    # the UR10 home pose is near full extension; +y moves out of reach
+    config["controller"]["waypoints"] = [
+        {"time": 0, "position": [-0.2, 0.4, 0.2], "orientation": [0, 0, 0, 1]}
+    ]
+    sim, state, ctrl, logger = run_closed_loop(
+        config, duration=2.0, ctrl_rate=50.0
+    )
+    import numpy as np
+
+    v = np.asarray(state.v)
+    assert np.isfinite(np.asarray(state.q)).all()
+    assert np.abs(v).max() < 5.0, f"joint velocities ran away: {np.abs(v).max()}"
+    disp = sim.object_displacements(state)
+    assert (disp < 0.05).all(), f"object lost during graceful stop: {disp}"

@@ -114,6 +114,13 @@ class UprightSimulation:
             base_mapping(self.base_type)[0] if self.command_frame == "body" else None
         )
 
+        # actuator velocity limits (clamped in step(); None = unlimited)
+        vlim = robot_conf.get("velocity_limits")
+        self.v_limit = (
+            jnp.abs(jnp.asarray(cfg_mod.parse_array(vlim))) if vlim is not None
+            else None
+        )
+
         # measurement / process noise (reference sim/robot.py:123-167)
         noise = robot_conf.get("noise", {})
         meas = noise.get("measurement", {})
@@ -222,6 +229,11 @@ class UprightSimulation:
         if params is None:
             params = self.default_params()
         cmd = jnp.asarray(cmd_vel)
+        if self.v_limit is not None:
+            # actuator velocity limits: the reference's PyBullet motors have
+            # finite force and URDF velocity bounds, so runaway commands
+            # saturate physically rather than teleporting the plant
+            cmd = jnp.clip(cmd, -self.v_limit, self.v_limit)
         if rng_key is not None and self.v_proc_std > 0:
             cmd = cmd + self.v_proc_std * jax.random.normal(rng_key, cmd.shape)
         return self._step(state, cmd, int(n_steps), params)

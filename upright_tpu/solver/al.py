@@ -42,6 +42,19 @@ class ALConfig:
         1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001,
     )
     mu_max: float = 1e6  # inequality-multiplier safeguard
+    # equality-multiplier safeguard (Algencan-style bounded multipliers):
+    # under persistent infeasibility (unreachable target, transient CWC
+    # violation) unbounded lam ratchets across warm-started MPC replans and
+    # destabilizes the closed loop; healthy converged multipliers on the
+    # shipped problems stay < ~150, so 1e3 never binds in nominal operation
+    lam_max: float = 1e3
+    # divergence watchdog: if the warm-start trajectory's constraint
+    # violation exceeds this, the incoming multipliers are stale (the world
+    # moved away from the plan) and are zeroed before solving — reproducing
+    # HPIPM's fresh-duals-per-QP behavior exactly when it matters.  None
+    # disables (offline/cold solves, where the warm start is all-zero
+    # anyway).  Units: mass-normalized constraint residual.
+    dual_reset_violation: float | None = None
     update_multipliers: bool = True  # AL dual update at end of solve
     # dual safeguarding for heavily-constrained problems (frictional cones):
     # take several primal (Riccati) steps per multiplier update, and damp the
@@ -267,6 +280,37 @@ def _rollout(ocp: OCP, X_ref, U_ref, K, kff, alpha, x0, p_stage, unroll=1):
     return X, Us
 
 
+def _rollout_merit(ocp: OCP, cfg: ALConfig, X_ref, U_ref, K, kff, alpha, x0,
+                   p_stage, p_final, lam, mu, lam_f, unroll=1):
+    """Fused forward pass: rollout + AL merit in ONE scan over the horizon.
+
+    The stage AL cost accumulates in the scan carry alongside the state, so
+    the line-search candidates never round-trip X/U through HBM for a
+    second cost pass.  The multiple-shooting defect term is skipped
+    entirely: scan-generated trajectories satisfy x_{k+1} = f(x_k, u_k)
+    exactly, so their defect penalty is identically zero (only the incoming
+    reference trajectory, scored by _merit, can carry defects).
+    """
+
+    def step(carry, inp):
+        x, acc = carry
+        x_r, u_r, K_k, k_k, p_k, lam_k, mu_k = inp
+        u = u_r + alpha * k_k + K_k @ (x - x_r)
+        if ocp.u_lb is not None:
+            u = jnp.clip(u, ocp.u_lb, ocp.u_ub)
+        acc = acc + _al_stage_cost(ocp, cfg, x, u, p_k, lam_k, mu_k)
+        x_next = ocp.dynamics(x, u, p_k)
+        return (x_next, acc), (x, u)
+
+    (x_last, acc), (Xs, Us) = jax.lax.scan(
+        step, (x0, jnp.zeros(())),
+        (X_ref[:-1], U_ref, K, kff, p_stage, lam, mu), unroll=unroll,
+    )
+    merit = acc + _al_final_cost(ocp, cfg, x_last, p_final, lam_f)
+    X = jnp.concatenate([Xs, x_last[None]], axis=0)
+    return merit, X, Us
+
+
 def _merit(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu, lam_f):
     stage = jax.vmap(
         lambda x, u, p, l, m: _al_stage_cost(ocp, cfg, x, u, p, l, m)
@@ -294,6 +338,25 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
     """
     p_stage = params["stage"]
     p_final = params["final"]
+
+    if cfg.dual_reset_violation is not None and (ocp.n_eq > 0 or ocp.n_ineq > 0):
+        # divergence watchdog (see ALConfig.dual_reset_violation)
+        viol0 = jnp.zeros(())
+        if ocp.n_eq > 0:
+            g0 = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(
+                state.X[:-1], state.U, p_stage
+            )
+            viol0 = jnp.maximum(viol0, jnp.max(jnp.abs(g0)))
+        if ocp.n_ineq > 0:
+            h0 = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(
+                state.X[:-1], state.U, p_stage
+            )
+            viol0 = jnp.maximum(viol0, jnp.max(jnp.maximum(0.0, -h0)))
+        keep = (viol0 <= cfg.dual_reset_violation).astype(state.X.dtype)
+        state = SolverState(
+            X=state.X, U=state.U, lam=state.lam * keep,
+            mu=state.mu * keep, lam_f=state.lam_f * keep,
+        )
 
     def sqp_iter(carry, it):
         X, U, lam, mu, lam_f = carry
@@ -347,9 +410,10 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         alphas = jnp.asarray(cfg.line_search_steps)
 
         def try_alpha(alpha):
-            Xa, Ua = _rollout(ocp, X, U, K, kff, alpha, x0, p_stage,
-                              unroll=cfg.scan_unroll)
-            m = _merit(ocp, cfg, Xa, Ua, p_stage, p_final, lam, mu, lam_f)
+            m, Xa, Ua = _rollout_merit(
+                ocp, cfg, X, U, K, kff, alpha, x0, p_stage, p_final,
+                lam, mu, lam_f, unroll=cfg.scan_unroll,
+            )
             return m, Xa, Ua
 
         merits, Xs, Us = jax.vmap(try_alpha)(alphas)
@@ -375,15 +439,26 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
             else:
                 do_update = ((it + 1) % cfg.dual_update_every) == 0
                 beta = jnp.where(do_update, cfg.dual_step, 0.0)
+            # multipliers move only after an accepted primal step: a rejected
+            # line search means the AL subproblem was not (approximately)
+            # minimized, and integrating rho*g against a stuck primal is pure
+            # windup (the closed-loop runaway mode at e.g. workspace limits)
+            beta = beta * accept
             if ocp.n_eq > 0:
                 g = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X_new[:-1], U_new, p_stage)
-                lam = lam + beta * cfg.rho_eq * g
+                lam = jnp.clip(lam + beta * cfg.rho_eq * g, -cfg.lam_max, cfg.lam_max)
             if ocp.n_ineq > 0:
                 h = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X_new[:-1], U_new, p_stage)
                 mu_new = jnp.clip(jnp.maximum(0.0, mu - cfg.rho_ineq * h), 0.0, cfg.mu_max)
-                mu = mu_new if plain else mu + beta * (mu_new - mu)
+                if plain:
+                    mu = jnp.where(accept, mu_new, mu)
+                else:
+                    mu = mu + beta * (mu_new - mu)
             if ocp.n_feq > 0:
-                lam_f = lam_f + beta * cfg.rho_eq * ocp.final_eq(X_new[-1], p_final)
+                lam_f = jnp.clip(
+                    lam_f + beta * cfg.rho_eq * ocp.final_eq(X_new[-1], p_final),
+                    -cfg.lam_max, cfg.lam_max,
+                )
 
         return (X_new, U_new, lam, mu, lam_f), (merits[best], K)
 

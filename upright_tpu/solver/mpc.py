@@ -38,6 +38,10 @@ class MPCSettings:
     # dual safeguarding (frictional problems; see ALConfig)
     dual_update_every: int = 1
     dual_step: float = 1.0
+    lam_max: float = 1e3  # equality-multiplier bound (windup safeguard)
+    # zero stale duals when the warm start's violation exceeds this
+    # (divergence watchdog; see ALConfig.dual_reset_violation)
+    dual_reset_violation: float = 10.0
     use_feedback_policy: bool = True
     # full candidate ladder: sudden constraint activations (thrown obstacles)
     # need the fine steps; trimming to 4 froze the dodge response
@@ -56,6 +60,8 @@ class MPCSettings:
             rho_ineq=float(solver.get("rho_ineq", 10.0)),
             dual_update_every=int(solver.get("dual_update_every", 1)),
             dual_step=float(solver.get("dual_step", 1.0)),
+            lam_max=float(solver.get("lam_max", 1e3)),
+            dual_reset_violation=float(solver.get("dual_reset_violation", 10.0)),
             use_feedback_policy=bool(sqp.get("use_feedback_policy", True)),
         )
 
@@ -72,6 +78,8 @@ class ControllerManager:
             iterations=self.settings.iterations,
             rho_eq=self.settings.rho_eq,
             rho_ineq=self.settings.rho_ineq,
+            lam_max=self.settings.lam_max,
+            dual_reset_violation=self.settings.dual_reset_violation,
             line_search_steps=tuple(self.settings.line_search_steps),
         )
         # the initial (cold) solve additionally applies the configured dual
