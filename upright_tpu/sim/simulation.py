@@ -561,12 +561,36 @@ def _build_sim_objects(sim_config):
                 surfaces.append(face)
 
         mu = mu_map.get((obj.parent, name), mu_map.get((name, obj.parent), 0.5))
+
+        # lateral (side-face) contact patches need their own vertices: a
+        # face-face contact against a SMALLER face (e.g. the 6 cm box vs the
+        # 5 cm fixture side) has no object corner inside the face extent, so
+        # vertex-only contact lets the object penetrate freely until
+        # max_depth releases it (then it snaps through and tumbles).  Use
+        # the arrangement's parsed contact-patch corners — the same points
+        # the controller's balance model uses — shrunk 10% toward the patch
+        # centroid so they sit strictly inside the face.
+        verts = _object_contact_vertices(obj)
+        for key in {(c.first, c.second) for c in contacts}:
+            pair = [c for c in contacts if (c.first, c.second) == key]
+            if abs(float(np.asarray(pair[0].normal)[2])) >= 0.9:
+                continue  # top/bottom support: corners already engage
+            if key[1] == name:
+                pts = np.asarray([c.r2 for c in pair])
+            elif key[0] == name:
+                pts = np.asarray([c.r1 for c in pair])
+            else:
+                continue
+            patch = pts - obj.com
+            patch = patch + 0.1 * (patch.mean(axis=0) - patch)
+            verts = np.concatenate([verts, patch])
+
         specs.append(
             SimObjectSpec(
                 name=name,
                 mass=obj.mass,
                 inertia_local=np.asarray(obj.inertia),
-                vertices_local=_object_contact_vertices(obj),
+                vertices_local=verts,
                 mu=mu,
                 surfaces=surfaces,
                 com_world_ee=np.asarray(obj.com),

@@ -282,33 +282,25 @@ def _rollout(ocp: OCP, X_ref, U_ref, K, kff, alpha, x0, p_stage, unroll=1):
 
 def _rollout_merit(ocp: OCP, cfg: ALConfig, X_ref, U_ref, K, kff, alpha, x0,
                    p_stage, p_final, lam, mu, lam_f, unroll=1):
-    """Fused forward pass: rollout + AL merit in ONE scan over the horizon.
+    """Forward pass + AL merit for one line-search candidate.
 
-    The stage AL cost accumulates in the scan carry alongside the state, so
-    the line-search candidates never round-trip X/U through HBM for a
-    second cost pass.  The multiple-shooting defect term is skipped
-    entirely: scan-generated trajectories satisfy x_{k+1} = f(x_k, u_k)
-    exactly, so their defect penalty is identically zero (only the incoming
-    reference trajectory, scored by _merit, can carry defects).
+    The rollout stays a minimal sequential scan (dynamics only — the
+    latency-critical path), and the stage costs are evaluated afterwards as
+    one parallel vmap over stages (fills the vector units instead of
+    serializing 20 tiny cost evaluations into the scan).  The
+    multiple-shooting defect term is skipped entirely: scan-generated
+    trajectories satisfy x_{k+1} = f(x_k, u_k) exactly, so their defect
+    penalty is identically zero (only the incoming reference trajectory,
+    scored by _merit, can carry defects — recomputing dynamics per
+    candidate just to measure a structural zero was pure waste).
     """
-
-    def step(carry, inp):
-        x, acc = carry
-        x_r, u_r, K_k, k_k, p_k, lam_k, mu_k = inp
-        u = u_r + alpha * k_k + K_k @ (x - x_r)
-        if ocp.u_lb is not None:
-            u = jnp.clip(u, ocp.u_lb, ocp.u_ub)
-        acc = acc + _al_stage_cost(ocp, cfg, x, u, p_k, lam_k, mu_k)
-        x_next = ocp.dynamics(x, u, p_k)
-        return (x_next, acc), (x, u)
-
-    (x_last, acc), (Xs, Us) = jax.lax.scan(
-        step, (x0, jnp.zeros(())),
-        (X_ref[:-1], U_ref, K, kff, p_stage, lam, mu), unroll=unroll,
-    )
-    merit = acc + _al_final_cost(ocp, cfg, x_last, p_final, lam_f)
-    X = jnp.concatenate([Xs, x_last[None]], axis=0)
-    return merit, X, Us
+    X, U = _rollout(ocp, X_ref, U_ref, K, kff, alpha, x0, p_stage,
+                    unroll=unroll)
+    stage = jax.vmap(
+        lambda x, u, p, l, m: _al_stage_cost(ocp, cfg, x, u, p, l, m)
+    )(X[:-1], U, p_stage, lam, mu)
+    merit = jnp.sum(stage) + _al_final_cost(ocp, cfg, X[-1], p_final, lam_f)
+    return merit, X, U
 
 
 def _merit(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu, lam_f):
