@@ -2,9 +2,11 @@
 must load, and a representative slice must build into a solvable problem.
 
 Mirrors reference upright_cmd/config/ral23/**: static_obstacles
-{full,robust,aligned} x {arch,bottle,cups,dice} x 3 waypoints,
-sudden_obstacle t in {0.5,1,1.5,2} + nominal, projectile head/side-on, and
-the wedge transport sims.
+{full,robust,aligned} x {arch,bottle,cups,dice} x 3 waypoints, the freespace
+ablations ({full,robust,aligned,none,upward,high_mu} + fixed-base arm_only),
+the extra/aligned_failure stacked box+bottle matrix, sudden_obstacle
+t in {0.5,1,1.5,2} + nominal, projectile head/side-on, and the wedge
+transport sims.
 """
 
 import glob
@@ -23,15 +25,25 @@ LEAVES = sorted(
 
 def test_matrix_shape():
     names = [p.split("/")[-1] for p in LEAVES]
-    # full/robust cover all 4 arrangements x 3 points; aligned skips dice
-    assert sum(n.startswith("full_") for n in names) == 12
+    # full/robust cover all 4 arrangements x 3 points (+ freespace full_dice);
+    # aligned skips dice in static_obstacles, freespace adds aligned_dice
+    assert sum(n.startswith("full_") for n in names) == 15
+    # 12 static_obstacles + 12 freespace points + 3 arm_only + 4
+    # aligned_failure robust variants
     assert (
-        sum(n.startswith("robust_") and "wedge" not in n for n in names) == 12
+        sum(n.startswith("robust_") and "wedge" not in n for n in names) == 31
     )
-    assert sum(n.startswith("aligned_") for n in names) == 9
+    # 9 static_obstacles + 3 freespace + 4 aligned_failure
+    assert sum(n.startswith("aligned_") for n in names) == 16
+    assert sum(n.endswith("_arm_only.yaml") for n in names) == 3
+    assert sum("box_bottle" in n for n in names) == 8
     assert sum(n.startswith("sudden_") for n in names) == 5
     assert sum(n.startswith("projectile_") for n in names) == 2
     assert sum(n.endswith("_with_wedge.yaml") for n in names) == 2
+    # freespace ablation families (reference freespace/{none,upward,high_mu})
+    assert sum(n.startswith("none_") for n in names) == 3
+    assert sum(n.startswith("upward_") for n in names) == 3
+    assert sum(n.startswith("high_mu_") for n in names) == 3
 
 
 @pytest.mark.parametrize("path", LEAVES)
@@ -49,6 +61,9 @@ def test_leaf_loads(path):
         "configs/ral23/static_obstacles/aligned_cups_point3.yaml",
         "configs/ral23/sudden_obstacle/sudden_t1.0.yaml",
         "configs/ral23/wedge/frictionless_with_wedge.yaml",
+        "configs/ral23/freespace/robust_cups_arm_only.yaml",
+        "configs/ral23/extra/aligned_failure/robust_brown_box_bottle_point1.yaml",
+        "configs/ral23/extra/aligned_failure/aligned_white_box_bottle_point3.yaml",
     ],
 )
 def test_representative_leaves_build(path):
@@ -62,3 +77,65 @@ def test_representative_leaves_build(path):
         assert prob.dims.num_objects == 0  # balancing off
     if name.startswith("sudden_"):
         assert prob.dims.num_obstacles == 1
+    if name.endswith("_arm_only.yaml"):
+        assert prob.ocp.nx == 18  # fixed-base UR10
+    if "box_bottle" in name and name.startswith("robust_"):
+        assert prob.dims.num_objects == 2  # stacked box + bottle
+
+
+def test_upward_mode_fixed_vector_alignment():
+    """freespace/upward: align_with_fixed_vector constrains the tray normal
+    to the world z axis, independent of acceleration
+    (inertial_alignment.cpp:31-35)."""
+    import numpy as np
+
+    up = build_problem(cfg.load_config("configs/ral23/freespace/upward_dice_point1.yaml"))
+    al = build_problem(cfg.load_config("configs/ral23/freespace/aligned_dice_point1.yaml"))
+
+    x = np.asarray(up.x0)
+    u = np.zeros(up.ocp.nu)
+    rows0 = np.asarray(up.evaluate_constraints(x, u)["alignment_constraints"])
+    # level tray at rest: C_we^T z = z, so a_n = 1 and the four linearized
+    # cone rows reduce to alpha * 1 = 0.2
+    assert abs(rows0[0] - 1.0) < 1e-6
+    assert np.allclose(rows0[1:], 0.2, atol=1e-6)
+
+    # accelerate hard: the fixed-vector rows must not move, while the
+    # acceleration-mode (aligned) rows must
+    xa = x.copy()
+    xa[2 * (up.ocp.nx // 3) :] = 2.0  # max accel on every joint
+    rows_up = np.asarray(up.evaluate_constraints(xa, u)["alignment_constraints"])
+    rows_al_0 = np.asarray(al.evaluate_constraints(x, u)["alignment_constraints"])
+    rows_al_a = np.asarray(al.evaluate_constraints(xa, u)["alignment_constraints"])
+    assert np.allclose(rows_up, rows0, atol=1e-9)
+    assert np.max(np.abs(rows_al_a - rows_al_0)) > 1e-3
+
+
+def test_use_angular_acceleration_adds_com_term():
+    """inertial_alignment.cpp:20-30: with use_angular_acceleration the
+    alignment vector gains ddC_we @ com, so a pure joint acceleration (which
+    spins the EE) moves the constraint when com != 0 but not when com = 0."""
+    import copy
+
+    import numpy as np
+
+    c = cfg.load_config("configs/ral23/freespace/aligned_dice_point1.yaml")
+    c_ang = copy.deepcopy(c)
+    c_ang["controller"]["inertial_alignment"]["use_angular_acceleration"] = True
+    c_ang["controller"]["inertial_alignment"]["com"] = [0.0, 0.0, 0.1]
+
+    p0 = build_problem(c)
+    p1 = build_problem(c_ang)
+    x = np.asarray(p0.x0)
+    u = np.zeros(p0.ocp.nu)
+    nq = p0.ocp.nx // 3
+    xa = x.copy()
+    xa[2 * nq :] = 1.0  # joint accelerations -> nonzero EE angular accel
+    r_plain = np.asarray(p0.evaluate_constraints(xa, u)["alignment_constraints"])
+    r_ang = np.asarray(p1.evaluate_constraints(xa, u)["alignment_constraints"])
+    r_ang_rest = np.asarray(p1.evaluate_constraints(x, u)["alignment_constraints"])
+    r_plain_rest = np.asarray(p0.evaluate_constraints(x, u)["alignment_constraints"])
+    # at rest the com term vanishes (no angular velocity/acceleration)
+    assert np.allclose(r_ang_rest, r_plain_rest, atol=1e-9)
+    # under angular acceleration it does not
+    assert np.max(np.abs(r_ang - r_plain)) > 1e-4

@@ -12,7 +12,10 @@ Base types (reference dynamics/base_type.h:7-39):
   omnidirectional planar PX/PY/RZ joints prepended
   nonholonomic    same chain as omnidirectional (differences live in the
                   dynamics, not the kinematics)
-  floating        not supported (unused in the reference demos)
+  floating        rejected with an error, same effective support as the
+                  reference: base_type.h:11 declares the enum value but no
+                  FloatingDynamics exists anywhere in upright_control — the
+                  string parses and nothing can consume it
 """
 
 from __future__ import annotations

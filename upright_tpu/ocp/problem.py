@@ -381,11 +381,33 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     ia_cost_enabled = bool(ia_conf.get("cost_enabled", False))
     ia_weight = float(ia_conf.get("cost_weight", 1.0))
     ia_normal = np.asarray(ia_conf.get("contact_plane_normal", [0, 0, 1]), dtype=float)
+    # alignment-vector modes (inertial_alignment.cpp:17-35): default is the
+    # total EE-frame acceleration; use_angular_acceleration adds the
+    # centripetal/tangential term ddC_we @ com of an object CoM offset;
+    # align_with_fixed_vector ("upward"/dynamic-insensitivity mode, ral23
+    # freespace/upward) tracks the original normal direction instead.
+    ia_fixed_vector = bool(ia_conf.get("align_with_fixed_vector", False))
+    ia_use_angular = bool(ia_conf.get("use_angular_acceleration", False))
+    ia_com = jnp.asarray(
+        np.asarray(ia_conf.get("com", [0.0, 0.0, 0.0]), dtype=float)
+    )
     ia_span = None
     if ia_cost_enabled or ia_conf.get("constraint_enabled", False):
         from upright_tpu.core.polyhedron import plane_span as np_plane_span
 
         ia_span = jnp.asarray(np_plane_span(ia_normal))
+
+    def _alignment_vector(ee):
+        """EE-frame vector whose tangential components the alignment cost and
+        constraint act on (inertial_alignment.cpp:17-35)."""
+        if ia_fixed_vector:
+            return ee.C_we.T @ ia_normal_j
+        a_total = ee.a_ew_w - gravity
+        if ia_use_angular:
+            from upright_tpu.core.math import dC_dtt
+
+            a_total = a_total + dC_dtt(ee.C_we, ee.w_ew_w, ee.alpha_ew_w) @ ia_com
+        return ee.C_we.T @ a_total
 
     def stage_residuals(x, u, p):
         """Nonlinear GN residuals: EE pose error (+ inertial alignment)."""
@@ -400,10 +422,15 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         )
         W = W_ee
         if ia_cost_enabled:
-            # alignment residual S C_we^T (a - g) / |g|
-            # (inertial_alignment.cpp:158-165)
-            a_total = ee.a_ew_w - gravity
-            e_align = ia_span @ (ee.C_we.T @ a_total) / jnp.linalg.norm(gravity)
+            # alignment residual S @ <alignment vector>, normalized by |g| in
+            # the acceleration modes (inertial_alignment.cpp:80-83 GN form).
+            # In fixed-vector mode the reference cost is the linear
+            # -w n.(C_we^T n); since |C_we^T n| = 1 that equals
+            # -w + (w/2)|S C_we^T n|^2 + O(|e|^4), so the GN residual
+            # S C_we^T n has the same minimizer and curvature.
+            e_align = ia_span @ _alignment_vector(ee)
+            if not ia_fixed_vector:
+                e_align = e_align / jnp.linalg.norm(gravity)
             e = jnp.concatenate([e, e_align])
             W = jax.scipy.linalg.block_diag(W_ee, ia_weight * jnp.eye(2))
         return e, W
@@ -511,7 +538,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         # inertial alignment cone (inertial_alignment.cpp:7-51)
         if ia_con_enabled:
             ee = ee_state_of(x)
-            a = ee.C_we.T @ (ee.a_ew_w - gravity)
+            a = _alignment_vector(ee)
             a_n = ia_normal_j @ a
             a_t = ia_span @ a
             rows.append(
