@@ -124,16 +124,23 @@ def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
 
         n_r = None
 
-        def stacked(z_):
-            parts = [ocp.stage_residuals(z_[:nx], z_[nx:], p)[0]]
+        def stacked(x_, u_):
+            parts = [ocp.stage_residuals(x_, u_, p)[0]]
             if ocp.n_eq > 0:
-                parts.append(ocp.eq(z_[:nx], z_[nx:], p))
+                parts.append(ocp.eq(x_, u_, p))
             if ocp.n_ineq > 0:
-                parts.append(ocp.ineq(z_[:nx], z_[nx:], p))
+                parts.append(ocp.ineq(x_, u_, p))
             return jnp.concatenate(parts)
 
-        vals = stacked(z)
-        J = jax.jacfwd(stacked)(z)
+        vals = stacked(x, u)
+        # Split the Jacobian into x- and u-column blocks: the kinematic
+        # chain (EE state) is a function of x only, so differentiating
+        # w.r.t. u closes over FK as a constant — its JVPs are symbolic
+        # zeros and the nu tangent columns skip the chain entirely
+        # (~nu/(nx+nu) of the JVP work vs one stacked jacfwd over z).
+        J_x = jax.jacfwd(lambda x_: stacked(x_, u))(x)
+        J_u = jax.jacfwd(lambda u_: stacked(x, u_))(u)
+        J = jnp.concatenate([J_x, J_u], axis=1)
 
         r, W = ocp.stage_residuals(x, u, p)
         n_r = r.shape[0]
