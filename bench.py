@@ -27,8 +27,17 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compiled-executable cache: reruns of the same bench (or a
+    # bench after an unrelated edit) skip the multi-minute TPU compiles.
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", ".jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import upright_tpu.config as cfg
     from upright_tpu.ocp.problem import build_problem
@@ -44,8 +53,6 @@ def main():
     )
     config = cfg.load_config(path)
     prob = build_problem(config)
-
-    import os
 
     ls_n = int(os.environ.get("BENCH_LS", 4))
     default_ls = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001)
