@@ -68,3 +68,49 @@ def test_plan_robust_parallel_scan_real():
     assert plan_par.X.shape[0] == 41  # N = 40 long horizon
     np.testing.assert_allclose(plan_par.X, plan_seq.X, atol=1e-5)
     np.testing.assert_allclose(plan_par.U, plan_seq.U, atol=1e-5)
+
+
+def test_linear_dynamics_bit_identical():
+    """linear_dynamics=True (one trace-time linearization, A/B as
+    loop-invariant scan constants) must match the per-stage jacfwd path
+    bit-for-bit — the dynamics here are exactly linear, so the Jacobians
+    are the same numbers either way; only the computation layout differs."""
+    ocp, params, x0 = make_problem()
+    cfg = ALConfig(iterations=3)
+    ws = zeros_warm_start(ocp, x0)
+    ocp_lin = dataclasses.replace(ocp, linear_dynamics=True)
+    sol = jax.jit(lambda p, x, s: solve(ocp, cfg, p, x, s))(params, x0, ws)
+    sol_lin = jax.jit(lambda p, x, s: solve(ocp_lin, cfg, p, x, s))(
+        params, x0, ws
+    )
+    np.testing.assert_array_equal(np.asarray(sol_lin.state.X),
+                                  np.asarray(sol.state.X))
+    np.testing.assert_array_equal(np.asarray(sol_lin.state.U),
+                                  np.asarray(sol.state.U))
+
+
+def test_linear_dynamics_full_problem():
+    """sqp.linear_dynamics on the real upright OCP (triple integrator +
+    balance constraints): bit-identical solve through build_problem."""
+    from upright_tpu.config import load_config
+    from upright_tpu.ocp.problem import build_problem
+
+    config = load_config("configs/demos/ur10_demo.yaml")
+    prob = build_problem(config)
+    config["controller"].setdefault("sqp", {})["linear_dynamics"] = True
+    prob_lin = build_problem(config)
+    assert prob_lin.ocp.linear_dynamics
+
+    cfg = ALConfig(iterations=2, rho_eq=10.0, rho_ineq=10.0)
+    p = prob.stage_params(0.0)
+    ws = zeros_warm_start(prob.ocp, prob.x0)
+    sol = jax.jit(lambda pp, xx, ss: solve(prob.ocp, cfg, pp, xx, ss))(
+        p, prob.x0, ws
+    )
+    sol_lin = jax.jit(
+        lambda pp, xx, ss: solve(prob_lin.ocp, cfg, pp, xx, ss)
+    )(p, prob.x0, ws)
+    np.testing.assert_array_equal(np.asarray(sol_lin.state.X),
+                                  np.asarray(sol.state.X))
+    np.testing.assert_array_equal(np.asarray(sol_lin.state.U),
+                                  np.asarray(sol.state.U))

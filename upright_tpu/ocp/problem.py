@@ -644,7 +644,10 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         stage_residuals=stage_residuals, stage_quad=stage_quad,
         final_quad=final_quad,
         u_lb=u_lb, u_ub=u_ub,
-        linear_dynamics=False,
+        # The discrete dynamics are exactly linear (triple integrator +
+        # constant-acceleration obstacles), so the solver may linearize once
+        # and reuse A, B as loop-invariant constants (sqp.linear_dynamics).
+        linear_dynamics=bool(sqp_conf.get("linear_dynamics", False)),
     )
 
     # -- initial state + target -----------------------------------------

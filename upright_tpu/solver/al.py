@@ -280,11 +280,19 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
         of XLA's blocked Cholesky + triangular-solve ops.
     """
     nx, nu = ocp.nx, ocp.nu
-    Z = jnp.concatenate([A, B], axis=-1)  # (N, nx, nx+nu)
+    Z = jnp.concatenate([A, B], axis=-1)  # (N, nx, nx+nu) or (nx, nx+nu)
+    # Stage-invariant dynamics (linear_dynamics): Z is 2-D and rides the
+    # scan as a closure constant instead of a scanned input — no (N, nx, nz)
+    # broadcast materialized in HBM, no per-stage Z stream through the loop.
+    Z_const = Z if Z.ndim == 2 else None
 
     def step(carry, inp):
         P, p = carry
-        Z_k, d_k, g_k, H_k = inp
+        if Z_const is None:
+            Z_k, d_k, g_k, H_k = inp
+        else:
+            d_k, g_k, H_k = inp
+            Z_k = Z_const
 
         Pd_p = p + P @ d_k
         PZ = P @ Z_k
@@ -304,8 +312,9 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
 
         return (P_new, p_new), (K, kff)
 
+    xs = (d, grads, hess) if Z_const is not None else (Z, d, grads, hess)
     (P0, p0), (K, kff) = jax.lax.scan(
-        step, (Hf, gf), (Z, d, grads, hess), reverse=True,
+        step, (Hf, gf), xs, reverse=True,
         unroll=cfg.scan_unroll,
     )
     return K, kff
@@ -417,10 +426,14 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
 
         if ocp.linear_dynamics:
             # A, B are state-independent: linearize once at a reference
-            # point and broadcast (trace-time constants)
+            # point.  The scan backend takes them unbatched (loop-invariant
+            # closure constants); pscan/pallas need the per-stage axis.
             A0, B0 = lin_dyn(X[0], U[0], jax.tree.map(lambda v: v[0], p_stage))
-            A = jnp.broadcast_to(A0, (ocp.N,) + A0.shape)
-            B = jnp.broadcast_to(B0, (ocp.N,) + B0.shape)
+            if cfg.backward == "scan":
+                A, B = A0, B0
+            else:
+                A = jnp.broadcast_to(A0, (ocp.N,) + A0.shape)
+                B = jnp.broadcast_to(B0, (ocp.N,) + B0.shape)
         else:
             A, B = jax.vmap(lin_dyn)(X[:-1], U, p_stage)
         f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
