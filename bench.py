@@ -52,11 +52,13 @@ def main():
         {"package": "configs", "path": "demos/thing_demo.yaml"}
     )
     config = cfg.load_config(path)
-    if os.environ.get("BENCH_LINDYN", "0") == "1":
-        # dynamics are exactly linear: linearize once at trace time and ride
-        # A, B through the backward scan as loop-invariant constants
-        # (bit-identical results, tests/test_backward_options.py)
-        config["controller"].setdefault("sqp", {})["linear_dynamics"] = True
+    lindyn = os.environ.get("BENCH_LINDYN")
+    if lindyn is not None:
+        # override the config's sqp.linear_dynamics (on by default there;
+        # bit-identical results either way, tests/test_backward_options.py)
+        config["controller"].setdefault("sqp", {})["linear_dynamics"] = (
+            lindyn == "1"
+        )
     prob = build_problem(config)
 
     ls_n = int(os.environ.get("BENCH_LS", 4))
