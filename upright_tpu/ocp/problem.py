@@ -31,7 +31,7 @@ from upright_tpu.core.balance import BalanceModel, EEState
 from upright_tpu.core.math import orientation_error
 from upright_tpu.kinematics.robot import RobotModel, build_robot_model
 from upright_tpu.ocp.reference import TargetTrajectory
-from upright_tpu.solver.ocp import OCP
+from upright_tpu.solver.ocp import OCP, IneqBoxRows
 
 
 @dataclasses.dataclass
@@ -512,15 +512,21 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
             rows.append(w * s * (jnp.linalg.norm(delta) - dist))
         return jnp.stack(rows)
 
-    def ineq(x, u, p):
-        rows = []
+    # Inequality stack, split so the solver can treat the box-limit block
+    # analytically (solver/ocp.py IneqBoxRows): row order is
+    # [cones | x_lo | x_hi | u_lo | u_hi | ee_box | alignment | collisions
+    #  | projectile].  The box rows have constant +/-identity Jacobians.
+    def _ineq_pre(x, u, p):
         # friction cones (frictional mode; frictionless cones are the
         # f >= 0 input bounds)
         if nc > 0 and not frictionless:
             scen = model.replace(params=p["obj_params"])
             forces = u[nq:].reshape(nc, 3)
-            rows.append(bal.contact_force_constraints_linearized(scen, forces))
-        # state / input box constraints
+            return bal.contact_force_constraints_linearized(scen, forces)
+        return jnp.zeros((0,))
+
+    def _ineq_box(x, u):
+        rows = []
         if x_lb is not None:
             xr = x[: dims.robot_x]
             rows.append(xr - x_lb)
@@ -528,6 +534,12 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         if u_lb is not None:
             rows.append(u - u_lb)
             rows.append(u_ub - u)
+        if not rows:
+            return jnp.zeros((0,))
+        return jnp.concatenate(rows)
+
+    def _ineq_post(x, u, p):
+        rows = []
         # EE position box around the desired position
         # (end_effector_box_constraint.h:12-88)
         if ee_box_enabled:
@@ -561,6 +573,14 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         if not rows:
             return jnp.zeros((0,))
         return jnp.concatenate(rows)
+
+    def ineq(x, u, p):
+        return jnp.concatenate(
+            [_ineq_pre(x, u, p), _ineq_box(x, u), _ineq_post(x, u, p)]
+        )
+
+    def ineq_smooth(x, u, p):
+        return jnp.concatenate([_ineq_pre(x, u, p), _ineq_post(x, u, p)])
 
     ia_normal_j = jnp.asarray(ia_normal)
 
@@ -637,12 +657,20 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         ineq_groups.append(("projectile_distances", len(proj_links)))
     assert sum(n for _, n in ineq_groups) == n_ineq, (ineq_groups, n_ineq)
 
+    n_pre_rows = 5 * nc if (nc > 0 and not frictionless) else 0
+    box_rows = IneqBoxRows(
+        n_pre=n_pre_rows,
+        nx_box=dims.robot_x if x_lb is not None else 0,
+        nu_box=dims.u if u_lb is not None else 0,
+    )
+
     ocp = OCP(
         N=N, nx=dims.x, nu=dims.u, n_eq=n_eq, n_ineq=n_ineq, n_feq=n_feq,
         dynamics=dynamics, stage_cost=stage_cost, eq=eq, ineq=ineq,
         final_cost=final_cost, final_eq=final_eq,
         stage_residuals=stage_residuals, stage_quad=stage_quad,
         final_quad=final_quad,
+        ineq_smooth=ineq_smooth, ineq_box=box_rows,
         u_lb=u_lb, u_ub=u_ub,
         # The discrete dynamics are exactly linear (triple integrator +
         # constant-acceleration obstacles), so the solver may linearize once

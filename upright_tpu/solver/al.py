@@ -124,12 +124,20 @@ def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
 
         n_r = None
 
+        # Analytic box-row split: state/input limit rows have constant
+        # +/-identity Jacobians — keep them out of the traced Jacobian and
+        # the GN J^T J products (they contribute masked diagonal updates).
+        box = ocp.ineq_box if ocp.ineq_smooth is not None else None
+        ineq_fn = ocp.ineq_smooth if box is not None else ocp.ineq
+
         def stacked(x_, u_):
             parts = [ocp.stage_residuals(x_, u_, p)[0]]
             if ocp.n_eq > 0:
                 parts.append(ocp.eq(x_, u_, p))
             if ocp.n_ineq > 0:
-                parts.append(ocp.ineq(x_, u_, p))
+                s_ = ineq_fn(x_, u_, p)
+                if s_.shape[0] > 0:
+                    parts.append(s_)
             return jnp.concatenate(parts)
 
         vals = stacked(x, u)
@@ -156,13 +164,40 @@ def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
             H = H + cfg.rho_eq * J_g.T @ J_g
             off += ocp.n_eq
         if ocp.n_ineq > 0:
-            h = vals[off:]
-            J_h = J[off:]
-            psi = jnp.maximum(0.0, mu / cfg.rho_ineq - h)
-            grad = grad - cfg.rho_ineq * J_h.T @ psi
-            active = psi > 0.0
-            J_h_active = J_h * active[:, None]
-            H = H + cfg.rho_ineq * J_h_active.T @ J_h_active
+            psi_full = jnp.maximum(0.0, mu / cfg.rho_ineq - ocp.ineq(x, u, p))
+            if box is None:
+                psi = psi_full
+                J_h = J[off:]
+            else:
+                # smooth rows = [pre | post] around the box block
+                b0 = box.n_pre
+                b1 = b0 + box.n_box
+                psi = jnp.concatenate([psi_full[:b0], psi_full[b1:]])
+                J_h = J[off:]
+            if J_h.shape[0] > 0:
+                grad = grad - cfg.rho_ineq * J_h.T @ psi
+                active = psi > 0.0
+                J_h_active = J_h * active[:, None]
+                H = H + cfg.rho_ineq * J_h_active.T @ J_h_active
+            if box is not None and box.n_box > 0:
+                b0 = box.n_pre
+                nxb, nub = box.nx_box, box.nu_box
+                p_xlo = psi_full[b0 : b0 + nxb]
+                p_xhi = psi_full[b0 + nxb : b0 + 2 * nxb]
+                p_ulo = psi_full[b0 + 2 * nxb : b0 + 2 * nxb + nub]
+                p_uhi = psi_full[b0 + 2 * nxb + nub : b0 + 2 * nxb + 2 * nub]
+                if nxb > 0:
+                    grad = grad.at[:nxb].add(-cfg.rho_ineq * (p_xlo - p_xhi))
+                    dH = (p_xlo > 0.0).astype(H.dtype) + (p_xhi > 0.0).astype(H.dtype)
+                    idx = jnp.arange(nxb)
+                    H = H.at[idx, idx].add(cfg.rho_ineq * dH)
+                if nub > 0:
+                    grad = grad.at[nx : nx + nub].add(
+                        -cfg.rho_ineq * (p_ulo - p_uhi)
+                    )
+                    dH = (p_ulo > 0.0).astype(H.dtype) + (p_uhi > 0.0).astype(H.dtype)
+                    idx = nx + jnp.arange(nub)
+                    H = H.at[idx, idx].add(cfg.rho_ineq * dH)
         return grad, H
 
     # generic fallback

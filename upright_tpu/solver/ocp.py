@@ -67,6 +67,33 @@ class OCP:
     # triple-integrator + constant-acceleration-obstacle system)
     linear_dynamics: bool = False
 
+    # Optional analytic split of the inequality stack.  Many rows of ``ineq``
+    # are simple box constraints (state/input limits) whose Jacobians are
+    # constant +/-identity selections; tracing them through the stacked
+    # jacfwd and the Gauss-Newton J^T J products wastes most of the stage-
+    # linearization work.  When set, ``ineq_smooth`` returns only the
+    # genuinely nonlinear rows (cones, EE box, alignment, collisions,
+    # projectile) and ``ineq_box`` describes the box block so the solver can
+    # add its gradient/Hessian contributions as masked scatter/diagonal
+    # updates.  Row order of ``ineq`` must be
+    #   [smooth_pre (n_pre rows) | x_lo | x_hi | u_lo | u_hi | smooth_post]
+    # with ``ineq_smooth`` = [smooth_pre | smooth_post].
+    ineq_smooth: Optional[Callable] = None  # (x, u, p_k) -> (n_ineq - n_box,)
+    ineq_box: Optional["IneqBoxRows"] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class IneqBoxRows:
+    """Box-row block description for OCP.ineq (see OCP.ineq_smooth)."""
+
+    n_pre: int  # smooth rows before the box block
+    nx_box: int  # boxed leading state entries (0 if no state box)
+    nu_box: int  # boxed input entries (0 if no input box)
+
+    @property
+    def n_box(self):
+        return 2 * (self.nx_box + self.nu_box)
+
 
 def zeros_warm_start(ocp: OCP, x0):
     """Cold-start trajectories: hold x0, zero inputs and multipliers."""
