@@ -671,6 +671,10 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         stage_residuals=stage_residuals, stage_quad=stage_quad,
         final_quad=final_quad,
         ineq_smooth=ineq_smooth, ineq_box=box_rows,
+        # x = [q, v, a, obstacle states]: per-block Jacobian columns so the
+        # v/a/obstacle columns skip the rotation-chain JVPs (see OCP)
+        x_jac_blocks=(nq, nq, nq)
+        + ((9 * num_obstacles,) if num_obstacles else ()),
         u_lb=u_lb, u_ub=u_ub,
         # The discrete dynamics are exactly linear (triple integrator +
         # constant-acceleration obstacles), so the solver may linearize once

@@ -141,12 +141,28 @@ def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
             return jnp.concatenate(parts)
 
         vals = stacked(x, u)
-        # Split the Jacobian into x- and u-column blocks: the kinematic
-        # chain (EE state) is a function of x only, so differentiating
-        # w.r.t. u closes over FK as a constant — its JVPs are symbolic
-        # zeros and the nu tangent columns skip the chain entirely
-        # (~nu/(nx+nu) of the JVP work vs one stacked jacfwd over z).
-        J_x = jax.jacfwd(lambda x_: stacked(x_, u))(x)
+        # Split the Jacobian into column blocks, each with every other block
+        # captured as a trace-time constant, so forward-mode tangents only
+        # flow through computations that depend on that block:
+        #   - u-columns skip the kinematic chain entirely (FK is x-only);
+        #   - with x_jac_blocks = (nq, nq, nq, ...), the v- and a-columns
+        #     skip the rotation-chain JVPs (pose depends only on q), and
+        #     a-columns additionally skip the velocity propagation.
+        if ocp.x_jac_blocks is not None:
+            parts = []
+            off_b = 0
+            for b in ocp.x_jac_blocks:
+                lo, hi = off_b, off_b + b
+
+                def f_block(xb, lo=lo, hi=hi):
+                    x_full = jnp.concatenate([x[:lo], xb, x[hi:]])
+                    return stacked(x_full, u)
+
+                parts.append(jax.jacfwd(f_block)(x[lo:hi]))
+                off_b = hi
+            J_x = jnp.concatenate(parts, axis=1)
+        else:
+            J_x = jax.jacfwd(lambda x_: stacked(x_, u))(x)
         J_u = jax.jacfwd(lambda u_: stacked(x, u_))(u)
         J = jnp.concatenate([J_x, J_u], axis=1)
 

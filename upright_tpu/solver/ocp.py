@@ -18,7 +18,7 @@ inertial_alignment.cpp:146-150).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -80,6 +80,15 @@ class OCP:
     # with ``ineq_smooth`` = [smooth_pre | smooth_post].
     ineq_smooth: Optional[Callable] = None  # (x, u, p_k) -> (n_ineq - n_box,)
     ineq_box: Optional["IneqBoxRows"] = None
+
+    # Optional column blocking for the stage-constraint Jacobian w.r.t. x.
+    # Forward-mode columns are computed per block with the other blocks
+    # captured as constants, so tangents only flow through computations that
+    # actually depend on that block (symbolic-zero pruning at trace time).
+    # For the upright state x = [q, v, a, obstacles], pose kinematics depend
+    # only on q — so the 2/3 of columns for v and a skip the rotation-chain
+    # JVPs entirely.  Block sizes must sum to nx.
+    x_jac_blocks: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
