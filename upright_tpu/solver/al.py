@@ -354,8 +354,11 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
         Qu = q[nx:]
 
         L = _chol_factor_unrolled(Quu)
-        K = -_chol_solve_unrolled(L, Qux)
-        kff = -_chol_solve_unrolled(L, Qu[..., None])[..., 0]
+        # one fused solve for [K | kff] (shared forward/back substitution)
+        sol_kk = -_chol_solve_unrolled(
+            L, jnp.concatenate([Qux, Qu[..., None]], axis=-1)
+        )
+        K, kff = sol_kk[..., :nx], sol_kk[..., nx]
 
         P_new = Q[:nx, :nx] + Qux.T @ K
         P_new = 0.5 * (P_new + P_new.T)
