@@ -60,6 +60,13 @@ def main():
             lindyn == "1"
         )
     prob = build_problem(config)
+    if os.environ.get("BENCH_XBLOCKS") == "0":
+        # disable the q/v/a Jacobian column blocking (A/B knob)
+        import dataclasses
+
+        prob = dataclasses.replace(
+            prob, ocp=dataclasses.replace(prob.ocp, x_jac_blocks=None)
+        )
 
     ls_n = int(os.environ.get("BENCH_LS", 4))
     default_ls = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001)
