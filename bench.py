@@ -59,14 +59,14 @@ def main():
         config["controller"].setdefault("sqp", {})["linear_dynamics"] = (
             lindyn == "1"
         )
-    prob = build_problem(config)
-    if os.environ.get("BENCH_XBLOCKS") == "0":
-        # disable the q/v/a Jacobian column blocking (A/B knob)
-        import dataclasses
-
-        prob = dataclasses.replace(
-            prob, ocp=dataclasses.replace(prob.ocp, x_jac_blocks=None)
+    xblocks = os.environ.get("BENCH_XBLOCKS")
+    if xblocks is not None:
+        # A/B knob for the q/v/a Jacobian column blocking (default: "auto" =
+        # on for CPU, off for TPU — measured 29.4k vs 24.9k solves/s on v5e)
+        config["controller"].setdefault("sqp", {})["jac_col_blocks"] = (
+            xblocks == "1"
         )
+    prob = build_problem(config)
 
     ls_n = int(os.environ.get("BENCH_LS", 4))
     default_ls = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001)

@@ -266,6 +266,23 @@ def _obstacle_step(dt):
     return step
 
 
+def _use_jac_col_blocks(sqp_conf: dict) -> bool:
+    """Resolve sqp.jac_col_blocks ("auto" | true | false, default "auto").
+
+    The per-block stage-Jacobian columns (OCP.x_jac_blocks) are a CPU win
+    (+50% batched throughput: v/a columns skip the rotation-chain JVPs) but
+    a TPU loss (-15%: four narrow jacfwd passes starve the MXU batch
+    dimension vs one wide pass).  "auto" picks by the default backend at
+    problem-build time; an explicit bool in the config overrides.
+    """
+    choice = sqp_conf.get("jac_col_blocks", "auto")
+    if isinstance(choice, bool):
+        return choice
+    if choice != "auto":
+        raise ValueError(f"sqp.jac_col_blocks must be 'auto' or bool, got {choice!r}")
+    return jax.default_backend() == "cpu"
+
+
 def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     """Build the full OCP from a merged config dict (see configs/)."""
     ctrl = config["controller"]
@@ -672,9 +689,15 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         final_quad=final_quad,
         ineq_smooth=ineq_smooth, ineq_box=box_rows,
         # x = [q, v, a, obstacle states]: per-block Jacobian columns so the
-        # v/a/obstacle columns skip the rotation-chain JVPs (see OCP)
-        x_jac_blocks=(nq, nq, nq)
-        + ((9 * num_obstacles,) if num_obstacles else ()),
+        # v/a/obstacle columns skip the rotation-chain JVPs (see OCP).
+        # Measured A/B (bench.py BENCH_XBLOCKS): +50% batched throughput on
+        # CPU, but -15% on TPU, where one wide jacfwd keeps the MXU batch
+        # dimension full — so "auto" picks by platform at build time.
+        x_jac_blocks=(
+            (nq, nq, nq) + ((9 * num_obstacles,) if num_obstacles else ())
+            if _use_jac_col_blocks(sqp_conf)
+            else None
+        ),
         u_lb=u_lb, u_ub=u_ub,
         # The discrete dynamics are exactly linear (triple integrator +
         # constant-acceleration obstacles), so the solver may linearize once
