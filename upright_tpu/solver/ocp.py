@@ -90,6 +90,14 @@ class OCP:
     # JVPs entirely.  Block sizes must sum to nx.
     x_jac_blocks: Optional[Tuple[int, ...]] = None
 
+    # Differentiation mode for the stacked stage-constraint Jacobian:
+    # "fwd" = one jacfwd over z (nx+nu tangent columns), "rev" = one jacrev
+    # (one VJP per stacked row).  With the analytic box-row split the stacked
+    # Jacobian is short and wide (e.g. 12 rows x 40 columns on the flagship
+    # problem), so reverse mode does 3x fewer derivative passes.  Ignored
+    # when x_jac_blocks is set (column blocking is a forward-mode concept).
+    jac_mode: str = "fwd"
+
 
 @dataclasses.dataclass(frozen=True)
 class IneqBoxRows:
