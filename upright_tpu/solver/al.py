@@ -550,6 +550,21 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         # limit cycle that heavily-coupled inequality sets (frictional cones
         # sharing force variables with the dynamics equalities) otherwise
         # fall into.
+        # constraint values at the accepted iterate: shared by the dual
+        # update and the end-of-solve diagnostics (computing diagnostics
+        # here, inside the scan body, lets XLA CSE the kinematic-chain
+        # evaluations with the dual update's — re-evaluating them after the
+        # scan would pay an extra FK sweep per solve)
+        g = (
+            jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X_new[:-1], U_new, p_stage)
+            if ocp.n_eq > 0 else None
+        )
+        h = (
+            jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X_new[:-1], U_new, p_stage)
+            if ocp.n_ineq > 0 else None
+        )
+        gf_val = ocp.final_eq(X_new[-1], p_final) if ocp.n_feq > 0 else None
+
         if cfg.update_multipliers:
             plain = cfg.dual_update_every == 1 and cfg.dual_step == 1.0
             if plain:
@@ -563,10 +578,8 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
             # windup (the closed-loop runaway mode at e.g. workspace limits)
             beta = beta * accept
             if ocp.n_eq > 0:
-                g = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X_new[:-1], U_new, p_stage)
                 lam = jnp.clip(lam + beta * cfg.rho_eq * g, -cfg.lam_max, cfg.lam_max)
             if ocp.n_ineq > 0:
-                h = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X_new[:-1], U_new, p_stage)
                 mu_new = jnp.clip(jnp.maximum(0.0, mu - cfg.rho_ineq * h), 0.0, cfg.mu_max)
                 if plain:
                     mu = jnp.where(accept, mu_new, mu)
@@ -574,37 +587,38 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
                     mu = mu + beta * (mu_new - mu)
             if ocp.n_feq > 0:
                 lam_f = jnp.clip(
-                    lam_f + beta * cfg.rho_eq * ocp.final_eq(X_new[-1], p_final),
+                    lam_f + beta * cfg.rho_eq * gf_val,
                     -cfg.lam_max, cfg.lam_max,
                 )
 
-        return (X_new, U_new, lam, mu, lam_f), (merits[best], K)
+        # per-iteration diagnostics (the last iteration's are returned)
+        cost_stage = jax.vmap(lambda x, u, p: ocp.stage_cost(x, u, p))(
+            X_new[:-1], U_new, p_stage
+        )
+        cost_it = jnp.sum(cost_stage) + ocp.final_cost(X_new[-1], p_final)
+        eq_viol_it = jnp.max(jnp.abs(g)) if ocp.n_eq > 0 else jnp.zeros(())
+        if ocp.n_feq > 0:
+            eq_viol_it = jnp.maximum(eq_viol_it, jnp.max(jnp.abs(gf_val)))
+        ineq_viol_it = (
+            jnp.max(jnp.maximum(0.0, -h)) if ocp.n_ineq > 0 else jnp.zeros(())
+        )
+        f_next_new = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(
+            X_new[:-1], U_new, p_stage
+        )
+        defect_it = jnp.max(jnp.abs(f_next_new - X_new[1:]))
+
+        return (X_new, U_new, lam, mu, lam_f), (
+            merits[best], K, cost_it, eq_viol_it, ineq_viol_it, defect_it,
+        )
 
     carry0 = (state.X, state.U, state.lam, state.mu, state.lam_f)
-    (X, U, lam, mu, lam_f), (_, Ks) = jax.lax.scan(
-        sqp_iter, carry0, jnp.arange(cfg.iterations)
+    (X, U, lam, mu, lam_f), (_, Ks, costs, eq_viols, ineq_viols, defects) = (
+        jax.lax.scan(sqp_iter, carry0, jnp.arange(cfg.iterations))
     )
     K = Ks[-1]
-
-    # diagnostics
-    cost_stage = jax.vmap(lambda x, u, p: ocp.stage_cost(x, u, p))(X[:-1], U, p_stage)
-    cost = jnp.sum(cost_stage) + ocp.final_cost(X[-1], p_final)
-
-    if ocp.n_eq > 0:
-        g = jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X[:-1], U, p_stage)
-        eq_viol = jnp.max(jnp.abs(g))
-    else:
-        eq_viol = jnp.zeros(())
-    if ocp.n_feq > 0:
-        eq_viol = jnp.maximum(eq_viol, jnp.max(jnp.abs(ocp.final_eq(X[-1], p_final))))
-    if ocp.n_ineq > 0:
-        h = jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X[:-1], U, p_stage)
-        ineq_viol = jnp.max(jnp.maximum(0.0, -h))
-    else:
-        ineq_viol = jnp.zeros(())
-
-    f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
-    defect = jnp.max(jnp.abs(f_next - X[1:]))
+    cost, eq_viol, ineq_viol, defect = (
+        costs[-1], eq_viols[-1], ineq_viols[-1], defects[-1],
+    )
 
     new_state = SolverState(X=X, U=U, lam=lam, mu=mu, lam_f=lam_f)
     return Solution(
