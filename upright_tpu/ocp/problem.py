@@ -394,6 +394,21 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         dx = x[: dims.robot_x] - xd_robot
         return 0.5 * dx @ W_state_robot @ dx + 0.5 * u @ W_u @ u
 
+    def stage_quad_derivs(x, u, p):
+        """Analytic gradient/Hessian of stage_quad (weights are constants;
+        obstacle-state columns are zero)."""
+        dx = x[: dims.robot_x] - xd_robot
+        gx = W_state_robot @ dx
+        grad = jnp.concatenate(
+            [gx, jnp.zeros(dims.x - dims.robot_x, dtype=x.dtype), W_u @ u]
+        )
+        H = jax.scipy.linalg.block_diag(
+            W_state_robot,
+            jnp.zeros((dims.x - dims.robot_x, dims.x - dims.robot_x)),
+            W_u,
+        )
+        return grad, H.astype(x.dtype)
+
     ia_conf = ctrl.get("inertial_alignment", {})
     ia_cost_enabled = bool(ia_conf.get("cost_enabled", False))
     ia_weight = float(ia_conf.get("cost_weight", 1.0))
@@ -701,6 +716,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         dynamics=dynamics, stage_cost=stage_cost, eq=eq, ineq=ineq,
         final_cost=final_cost, final_eq=final_eq,
         stage_residuals=stage_residuals, stage_quad=stage_quad,
+        stage_quad_derivs=stage_quad_derivs,
         final_quad=final_quad,
         ineq_smooth=ineq_smooth, ineq_box=box_rows,
         # x = [q, v, a, obstacle states]: per-block Jacobian columns so the

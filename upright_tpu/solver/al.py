@@ -116,11 +116,14 @@ def _stage_derivatives(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
     z = jnp.concatenate([x, u])
 
     if ocp.stage_residuals is not None and ocp.stage_quad is not None:
-        def quad(z_):
-            return ocp.stage_quad(z_[:nx], z_[nx:], p)
+        if ocp.stage_quad_derivs is not None:
+            grad, H = ocp.stage_quad_derivs(x, u, p)
+        else:
+            def quad(z_):
+                return ocp.stage_quad(z_[:nx], z_[nx:], p)
 
-        H = jax.hessian(quad)(z)
-        grad = jax.grad(quad)(z)
+            H = jax.hessian(quad)(z)
+            grad = jax.grad(quad)(z)
 
         n_r = None
 

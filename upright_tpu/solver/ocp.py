@@ -90,6 +90,12 @@ class OCP:
     # JVPs entirely.  Block sizes must sum to nx.
     x_jac_blocks: Optional[Tuple[int, ...]] = None
 
+    # Analytic derivatives of stage_quad: (x, u, p_k) -> (grad (nx+nu,),
+    # H (nx+nu, nx+nu)).  The quadratic's Hessian is a constant
+    # weight-matrix block diagonal; supplying it directly keeps
+    # jax.hessian's jacfwd-of-jacrev ladder out of the traced stage program.
+    stage_quad_derivs: Optional[Callable] = None
+
     # Differentiation mode for the stacked stage-constraint Jacobian:
     # "fwd" = one jacfwd over z (nx+nu tangent columns), "rev" = one jacrev
     # (one VJP per stacked row).  With the analytic box-row split the stacked
