@@ -78,25 +78,48 @@ class ALConfig:
 # ---------------------------------------------------------------------------
 
 
-def _al_stage_cost(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
-    """l + lam'g + rho/2|g|^2 + rho/2|max(0, mu/rho - h)|^2 (PHR form)."""
+def _al_stage_terms(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
+    """AL stage cost plus the intermediates the solver reuses downstream.
+
+    Returns (al, l, g, h): the PHR merit term
+    l + lam'g + rho/2|g|^2 + rho/2|max(0, mu/rho - h)|^2, the plain stage
+    cost l, and the eq/ineq constraint values at the same point (None when
+    the problem has none).  The solve threads g/h from the accepted
+    line-search candidate into the dual update and diagnostics instead of
+    re-evaluating the constraint stack (a full kinematic-chain sweep) at
+    X_new after the candidate select — XLA cannot CSE across the gather.
+    """
     l = ocp.stage_cost(x, u, p)
+    al = l
+    g = h = None
     if ocp.n_eq > 0:
         g = ocp.eq(x, u, p)
-        l = l + lam @ g + 0.5 * cfg.rho_eq * g @ g
+        al = al + lam @ g + 0.5 * cfg.rho_eq * g @ g
     if ocp.n_ineq > 0:
         h = ocp.ineq(x, u, p)
         psi = jnp.maximum(0.0, mu / cfg.rho_ineq - h)
-        l = l + 0.5 * cfg.rho_ineq * psi @ psi
-    return l
+        al = al + 0.5 * cfg.rho_ineq * psi @ psi
+    return al, l, g, h
+
+
+def _al_stage_cost(ocp: OCP, cfg: ALConfig, x, u, p, lam, mu):
+    """l + lam'g + rho/2|g|^2 + rho/2|max(0, mu/rho - h)|^2 (PHR form)."""
+    return _al_stage_terms(ocp, cfg, x, u, p, lam, mu)[0]
+
+
+def _al_final_terms(ocp: OCP, cfg: ALConfig, x, p_f, lam_f):
+    """(al, l, gf): AL final cost, plain final cost, final-eq values."""
+    l = ocp.final_cost(x, p_f)
+    al = l
+    gf = None
+    if ocp.n_feq > 0:
+        gf = ocp.final_eq(x, p_f)
+        al = al + lam_f @ gf + 0.5 * cfg.rho_eq * gf @ gf
+    return al, l, gf
 
 
 def _al_final_cost(ocp: OCP, cfg: ALConfig, x, p_f, lam_f):
-    l = ocp.final_cost(x, p_f)
-    if ocp.n_feq > 0:
-        g = ocp.final_eq(x, p_f)
-        l = l + lam_f @ g + 0.5 * cfg.rho_eq * g @ g
-    return l
+    return _al_final_terms(ocp, cfg, x, p_f, lam_f)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -421,25 +444,35 @@ def _rollout_merit(ocp: OCP, cfg: ALConfig, X_ref, U_ref, K, kff, alpha, x0,
     """
     X, U = _rollout(ocp, X_ref, U_ref, K, kff, alpha, x0, p_stage,
                     unroll=unroll)
-    stage = jax.vmap(
-        lambda x, u, p, l, m: _al_stage_cost(ocp, cfg, x, u, p, l, m)
+    al, l, g, h = jax.vmap(
+        lambda x, u, p, lm, m: _al_stage_terms(ocp, cfg, x, u, p, lm, m)
     )(X[:-1], U, p_stage, lam, mu)
-    merit = jnp.sum(stage) + _al_final_cost(ocp, cfg, X[-1], p_final, lam_f)
-    return merit, X, U
+    al_f, l_f, gf = _al_final_terms(ocp, cfg, X[-1], p_final, lam_f)
+    merit = jnp.sum(al) + al_f
+    terms = (jnp.sum(l) + l_f, g, h, gf)
+    return merit, X, U, terms
 
 
-def _merit(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu, lam_f):
-    stage = jax.vmap(
-        lambda x, u, p, l, m: _al_stage_cost(ocp, cfg, x, u, p, l, m)
+def _merit_terms(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu,
+                 lam_f):
+    """AL merit of a given (X, U) plus the reused terms (see
+    `_al_stage_terms`): (total, (plain_cost, g, h, gf))."""
+    al, l, g, h = jax.vmap(
+        lambda x, u, p, lm, m: _al_stage_terms(ocp, cfg, x, u, p, lm, m)
     )(X[:-1], U, p_stage, lam, mu)
-    total = jnp.sum(stage) + _al_final_cost(ocp, cfg, X[-1], p_final, lam_f)
+    al_f, l_f, gf = _al_final_terms(ocp, cfg, X[-1], p_final, lam_f)
+    total = jnp.sum(al) + al_f
     if cfg.defect_penalty > 0:
         # multiple-shooting merit: penalize dynamics defects so a stale
         # (defect-carrying) reference trajectory cannot out-score consistent
         # rollouts (which are defect-free by construction)
         f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
         total = total + cfg.defect_penalty * jnp.sum(jnp.abs(f_next - X[1:]))
-    return total
+    return total, (jnp.sum(l) + l_f, g, h, gf)
+
+
+def _merit(ocp: OCP, cfg: ALConfig, X, U, p_stage, p_final, lam, mu, lam_f):
+    return _merit_terms(ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -531,20 +564,32 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         alphas = jnp.asarray(cfg.line_search_steps)
 
         def try_alpha(alpha):
-            m, Xa, Ua = _rollout_merit(
+            return _rollout_merit(
                 ocp, cfg, X, U, K, kff, alpha, x0, p_stage, p_final,
                 lam, mu, lam_f, unroll=cfg.scan_unroll,
             )
-            return m, Xa, Ua
 
-        merits, Xs, Us = jax.vmap(try_alpha)(alphas)
-        merit0 = _merit(ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f)
+        merits, Xs, Us, terms_a = jax.vmap(try_alpha)(alphas)
+        merit0, terms0 = _merit_terms(
+            ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f
+        )
         merits = jnp.where(jnp.isnan(merits), jnp.inf, merits)
         best = jnp.argmin(merits)
 
         accept = merits[best] < merit0
         X_new = jnp.where(accept, Xs[best], X)
         U_new = jnp.where(accept, Us[best], U)
+
+        # Plain cost + constraint values at the accepted iterate, threaded
+        # through the candidate select.  Every candidate's merit already
+        # evaluated the full constraint stack at (Xa, Ua); gathering those
+        # values here means the dual update and the end-of-solve diagnostics
+        # below cost no further kinematic-chain sweep (XLA cannot CSE an
+        # evaluation at Xs[best] with the per-candidate ones — the gather is
+        # opaque to it).
+        cost_it, g, h, gf_val = jax.tree.map(
+            lambda a, b: jnp.where(accept, a[best], b), terms_a, terms0
+        )
 
         # dual (multiplier) update: makes warm-started 1-iteration MPC solves
         # track the constrained optimum.  With dual_update_every > 1, the
@@ -553,21 +598,6 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         # limit cycle that heavily-coupled inequality sets (frictional cones
         # sharing force variables with the dynamics equalities) otherwise
         # fall into.
-        # constraint values at the accepted iterate: shared by the dual
-        # update and the end-of-solve diagnostics (computing diagnostics
-        # here, inside the scan body, lets XLA CSE the kinematic-chain
-        # evaluations with the dual update's — re-evaluating them after the
-        # scan would pay an extra FK sweep per solve)
-        g = (
-            jax.vmap(lambda x, u, p: ocp.eq(x, u, p))(X_new[:-1], U_new, p_stage)
-            if ocp.n_eq > 0 else None
-        )
-        h = (
-            jax.vmap(lambda x, u, p: ocp.ineq(x, u, p))(X_new[:-1], U_new, p_stage)
-            if ocp.n_ineq > 0 else None
-        )
-        gf_val = ocp.final_eq(X_new[-1], p_final) if ocp.n_feq > 0 else None
-
         if cfg.update_multipliers:
             plain = cfg.dual_update_every == 1 and cfg.dual_step == 1.0
             if plain:
@@ -594,21 +624,19 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
                     -cfg.lam_max, cfg.lam_max,
                 )
 
-        # per-iteration diagnostics (the last iteration's are returned)
-        cost_stage = jax.vmap(lambda x, u, p: ocp.stage_cost(x, u, p))(
-            X_new[:-1], U_new, p_stage
-        )
-        cost_it = jnp.sum(cost_stage) + ocp.final_cost(X_new[-1], p_final)
+        # per-iteration diagnostics (the last iteration's are returned),
+        # all assembled from the threaded candidate terms above — no extra
+        # constraint/cost/dynamics evaluations.  The defect is exact: an
+        # accepted candidate came out of the rollout scan, whose recursion
+        # stores x_{k+1} = f(x_k, u_k) bit-for-bit, so its defect is a
+        # structural zero; a rejected step keeps (X, U) whose defect is d.
         eq_viol_it = jnp.max(jnp.abs(g)) if ocp.n_eq > 0 else jnp.zeros(())
         if ocp.n_feq > 0:
             eq_viol_it = jnp.maximum(eq_viol_it, jnp.max(jnp.abs(gf_val)))
         ineq_viol_it = (
             jnp.max(jnp.maximum(0.0, -h)) if ocp.n_ineq > 0 else jnp.zeros(())
         )
-        f_next_new = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(
-            X_new[:-1], U_new, p_stage
-        )
-        defect_it = jnp.max(jnp.abs(f_next_new - X_new[1:]))
+        defect_it = jnp.where(accept, 0.0, jnp.max(jnp.abs(d)))
 
         return (X_new, U_new, lam, mu, lam_f), (
             merits[best], K, cost_it, eq_viol_it, ineq_viol_it, defect_it,
