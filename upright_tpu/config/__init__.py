@@ -1,12 +1,20 @@
-"""Configuration system: recursive YAML includes + literal expansion.
+"""Configuration system: YAML include composition + numeric literal grammar.
 
-Parity with the reference config layer (upright_core/src/upright_core/parsing.py)
-minus ROS: package paths resolve against this repository's ``configs/`` tree
+Behavior-compatible with the reference config layer (the YAML schema demands
+identical merge/expansion semantics — see upright_core/src/upright_core/parsing.py
+for the schema it must honor), implemented here as:
+
+* a small regex grammar for the ``"<k>pi"`` / ``"<v>rep<n>"`` literals,
+* an explicit-stack tree merge (no recursion),
+* include resolution as a fold over child-first include lists.
+
+ROS package paths resolve against this repository's ``configs/`` tree
 (or absolute paths) instead of rospkg.
 """
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 import numpy as np
@@ -23,9 +31,15 @@ PACKAGE_PATHS = {
     "configs": _REPO_ROOT / "configs",
 }
 
+# Literal grammar: a float with an optional trailing unit.  "0.5pi" scales by
+# pi; "2rep3" means the value 2.0 repeated 3 times.
+_FLOAT = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+_PI_RE = re.compile(rf"^({_FLOAT})pi$")
+_REP_RE = re.compile(rf"^({_FLOAT})rep(\d+)$")
+
 
 def resolve_package_path(d, as_string=True):
-    """Resolve a {package, path} dict to a local path (parsing.py:109-115)."""
+    """Resolve a {package, path} dict to a local path."""
     pkg = d.get("package")
     if pkg is None:
         path = Path(d["path"])
@@ -38,83 +52,113 @@ def resolve_package_path(d, as_string=True):
 
 
 def recursive_dict_update(default, custom):
-    """Merge ``custom`` into ``default`` recursively (parsing.py:16-27)."""
-    if not isinstance(default, dict) or not isinstance(custom, dict):
-        raise TypeError("Params of recursive_update should be dicts")
-    for key in custom:
-        if isinstance(custom[key], dict) and isinstance(default.get(key), dict):
-            default[key] = recursive_dict_update(default[key], custom[key])
-        else:
-            default[key] = custom[key]
+    """Overlay ``custom`` onto ``default``: nested dicts merge key-by-key,
+    anything else is replaced.  Mutates and returns ``default``.
+
+    Implemented with an explicit work stack rather than recursion.
+    """
+    if not (isinstance(default, dict) and isinstance(custom, dict)):
+        raise TypeError("recursive_dict_update requires two dicts")
+    pending = [(default, custom)]
+    while pending:
+        base, overlay = pending.pop()
+        for key, val in overlay.items():
+            if isinstance(val, dict) and isinstance(base.get(key), dict):
+                pending.append((base[key], val))
+            else:
+                base[key] = val
     return default
 
 
-def load_config(path, depth=0, max_depth=5):
-    """Load a YAML config, merging its ``include`` list recursively; the
-    including file's keys override the included ones (parsing.py:30-60)."""
-    if depth > max_depth:
-        raise Exception(f"Maximum inclusion depth {max_depth} exceeded.")
-
+def _read_yaml(path):
     with open(path) as f:
-        d = yaml.safe_load(f) or {}
+        return yaml.safe_load(f) or {}
 
-    includes = d.pop("include", [])
-    merged = {}
-    for include in includes:
-        sub_path = resolve_package_path(include)
-        sub = load_config(sub_path, depth=depth + 1, max_depth=max_depth)
-        if "key" in include:
-            sub = {include["key"]: sub}
-        merged = recursive_dict_update(merged, sub)
-    return recursive_dict_update(merged, d)
+
+def load_config(path, depth=0, max_depth=5):
+    """Load one YAML file plus its ``include`` chain.
+
+    Each entry of ``include`` is a {package?, path, key?} dict; included trees
+    are folded together in list order and the including file's own keys win.
+    A ``key`` entry nests the included tree under that key.  ``depth`` /
+    ``max_depth`` bound the include chain (cycles terminate with an error).
+    """
+    if depth > max_depth:
+        raise RuntimeError(
+            f"Config include chain is deeper than the inclusion depth limit"
+            f" ({max_depth}); is there an include cycle?"
+        )
+
+    doc = _read_yaml(path)
+    own_keys = {k: v for k, v in doc.items() if k != "include"}
+
+    layers = []
+    for entry in doc.get("include", ()):
+        subtree = load_config(
+            resolve_package_path(entry), depth=depth + 1, max_depth=max_depth
+        )
+        if "key" in entry:
+            subtree = {entry["key"]: subtree}
+        layers.append(subtree)
+    layers.append(own_keys)
+
+    composed = {}
+    for layer in layers:
+        recursive_dict_update(composed, layer)
+    return composed
 
 
 def parse_number(x, dtype=float):
-    """Parse a scalar; strings ending in ``pi`` are multiples of pi
-    (parsing.py:63-71)."""
-    if isinstance(x, str) and x.endswith("pi"):
-        return dtype(float(x[:-2]) * np.pi)
+    """Scalar with optional ``pi`` unit: 3, "1.5", "0.5pi", "-2pi"."""
+    if isinstance(x, str):
+        m = _PI_RE.match(x.strip())
+        if m:
+            return dtype(float(m.group(1)) * np.pi)
     return dtype(x)
 
 
 def parse_array_element(x):
-    """One element of a config array: float, "<k>pi", or "<v>rep<n>"
-    (parsing.py:74-83)."""
-    try:
-        return np.array([float(x)])
-    except (TypeError, ValueError):
-        pass
+    """Expand one array element to a 1-D float array.
+
+    Accepts plain numbers, ``"<k>pi"`` (one element, k*pi) and
+    ``"<v>rep<n>"`` (n copies of v).
+    """
     if isinstance(x, str):
-        if x.endswith("pi"):
-            return np.array([float(x[:-2]) * np.pi])
-        if "rep" in x:
-            v, n = x.split("rep")
-            return float(v) * np.ones(int(n))
-    raise ValueError(f"Could not convert {x} to array element.")
+        s = x.strip()
+        m = _REP_RE.match(s)
+        if m:
+            return np.full(int(m.group(2)), float(m.group(1)))
+        m = _PI_RE.match(s)
+        if m:
+            return np.array([float(m.group(1)) * np.pi])
+        try:
+            return np.array([float(s)])
+        except ValueError:
+            raise ValueError(f"'{x}' is not a number, pi-literal, or rep-literal.")
+    return np.array([float(x)])
 
 
 def parse_array(a):
-    """Parse a 1-D iterable with literal expansion (parsing.py:86-91)."""
+    """Parse a 1-D iterable with literal expansion."""
     return np.concatenate([parse_array_element(x) for x in a])
 
 
 def parse_diag_matrix_dict(d):
-    """{scale, diag} dict -> scaled diagonal matrix (parsing.py:94-106)."""
+    """{scale, diag} dict -> scaled diagonal matrix."""
     return parse_number(d["scale"]) * np.diag(parse_array(d["diag"]))
 
 
 def parse_support_offset(d):
-    """x/y (+ optional polar r, theta) offset dict -> [x, y]
-    (parsing.py:132-151)."""
-    x = d.get("x", 0)
-    y = d.get("y", 0)
-    has_r = "r" in d
-    has_t = "θ" in d or "theta" in d
-    if has_r and has_t:
+    """x/y (+ optional polar r, theta) offset dict -> [x, y]."""
+    xy = np.array([d.get("x", 0.0), d.get("y", 0.0)], dtype=float)
+    polar = [k for k in ("r", "θ", "theta") if k in d]
+    if polar:
+        if "r" not in polar or len(polar) < 2:
+            raise ValueError(
+                "Polar support offset needs both a radius 'r' and an angle"
+                " 'θ'/'theta'."
+            )
         r = d["r"]
         theta = parse_number(d.get("θ", d.get("theta")))
-        x += r * np.cos(theta)
-        y += r * np.sin(theta)
-    elif has_r or has_t:
-        raise ValueError("Radius and angle must *both* be specified in support offset.")
-    return np.array([x, y])
+        xy = xy + r * np.array([np.cos(theta), np.sin(theta)])
+    return xy

@@ -87,6 +87,10 @@ class UprightProblem:
     # the reference exposes constraint values per named constraint
     # (controller_python_interface.h:31-88)
     ineq_groups: list = dataclasses.field(default_factory=list)
+    # position-jump size (rad, joint-space 2-norm) above which the warm
+    # start's state trajectory is re-rolled from the measured x0 instead of
+    # kept (post-brake re-engage); config key controller.mpc.heal_jump_threshold
+    heal_jump_threshold: float = 0.2
 
     def evaluate_constraints(self, x, u, t=0.0, target=None):
         """Diagnostic evaluation of all constraint groups at one (x, u, t),
@@ -210,7 +214,7 @@ class UprightProblem:
         # demos, and re-rolling stored jerks open-loop over the 2 s horizon
         # amplifies small errors cubically (closed-loop runaway).
         jump = jnp.linalg.norm(x0[: self.dims.robot_q] - state.X[0, : self.dims.robot_q])
-        use_roll = jump > 0.2
+        use_roll = jump > self.heal_jump_threshold
         X = jnp.where(use_roll, X_roll, X_keep)
         return state.replace(X=X)
 
@@ -769,6 +773,9 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         ocp=ocp, dims=dims, robot=robot, balance_model=model, dt=dt,
         x0=x0, xd=xd_robot, target=target, gravity=gravity, config=config,
         ineq_groups=ineq_groups,
+        heal_jump_threshold=float(
+            ctrl.get("mpc", {}).get("heal_jump_threshold", 0.2)
+        ),
     )
 
 
