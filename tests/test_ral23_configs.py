@@ -25,25 +25,30 @@ LEAVES = sorted(
 
 def test_matrix_shape():
     names = [p.split("/")[-1] for p in LEAVES]
-    # full/robust cover all 4 arrangements x 3 points (+ freespace full_dice);
-    # aligned skips dice in static_obstacles, freespace adds aligned_dice
-    assert sum(n.startswith("full_") for n in names) == 15
-    # 12 static_obstacles + 12 freespace points + 3 arm_only + 4
-    # aligned_failure robust variants
+    # full: 12 static_obstacles + 12 freespace points + 3 freespace arm_only
+    # + simulations full_with_fixture (the bare simulations/full.yaml does
+    # not match the prefix)
+    assert sum(n.startswith("full_") for n in names) == 28
+    # robust: 12 static_obstacles + 12 freespace points + 3 arm_only + 4
+    # aligned_failure + simulations {with_fixture, with_stack, with_tall,
+    # with_tall_multi}
     assert (
-        sum(n.startswith("robust_") and "wedge" not in n for n in names) == 31
+        sum(n.startswith("robust_") and "wedge" not in n for n in names) == 35
     )
-    # 9 static_obstacles + 3 freespace + 4 aligned_failure
-    assert sum(n.startswith("aligned_") for n in names) == 16
-    assert sum(n.endswith("_arm_only.yaml") for n in names) == 3
+    # aligned: 9 static_obstacles + 12 freespace + 4 aligned_failure +
+    # simulations aligned_with_tall
+    assert sum(n.startswith("aligned_") for n in names) == 26
+    assert sum(n.endswith("_arm_only.yaml") for n in names) == 6
     assert sum("box_bottle" in n for n in names) == 8
     assert sum(n.startswith("sudden_") for n in names) == 5
     assert sum(n.startswith("projectile_") for n in names) == 2
     assert sum(n.endswith("_with_wedge.yaml") for n in names) == 2
-    # freespace ablation families (reference freespace/{none,upward,high_mu})
-    assert sum(n.startswith("none_") for n in names) == 3
-    assert sum(n.startswith("upward_") for n in names) == 3
+    # freespace ablations across all four arrangements (reference
+    # freespace/{none,upward,high_mu}) + simulations *_with_fixture
+    assert sum(n.startswith("none_") for n in names) == 13
+    assert sum(n.startswith("upward_") for n in names) == 13
     assert sum(n.startswith("high_mu_") for n in names) == 3
+    assert len(LEAVES) >= 132
 
 
 @pytest.mark.parametrize("path", LEAVES)
@@ -51,6 +56,19 @@ def test_leaf_loads(path):
     c = cfg.load_config(path)
     assert "waypoints" in c["controller"]
     assert "arrangement" in c["simulation"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", LEAVES)
+def test_every_leaf_builds(path):
+    """Every leaf of the matrix builds into a well-formed OCP (VERDICT r2
+    item 4: build-check every leaf, not just a representative slice)."""
+    prob = build_problem(cfg.load_config(path))
+    assert prob.ocp.N == 20
+    assert prob.ocp.nx == prob.dims.x
+    assert prob.ocp.n_eq == 6 * prob.dims.num_objects + (
+        2 if prob.robot.base_type == "nonholonomic" else 0
+    )
 
 
 @pytest.mark.parametrize(
