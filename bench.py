@@ -215,6 +215,37 @@ def main():
     steady_ms = float(np.median(win_ts) * 1e3)
     steady_p99_ms = float(np.percentile(np.asarray(win_ts), 99) * 1e3)
 
+    # Pallas-vs-XLA Riccati backward on hardware (VERDICT r2 item 2): the
+    # hand kernel is a documented experiment (docs/performance.md, "Pallas
+    # kernel status"); this records its real-hardware number each round.
+    # BENCH_PALLAS=0 skips (the Mosaic compile adds ~15 s when uncached).
+    pallas_ms, xla_backward_ms = None, None
+    if os.environ.get("BENCH_PALLAS", "1") == "1":
+        try:
+            import sys
+
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from scripts.pallas_ab import make_inputs, measure, _Dims
+            from upright_tpu.solver.al import _backward_pass
+
+            ab_in = make_inputs(512)
+            xla_bwd = jax.jit(
+                jax.vmap(
+                    lambda a, b, dd, gg, hh, gff, hff: _backward_pass(
+                        _Dims(), al_cfg, a, b, dd, gg, hh, gff, hff
+                    )
+                )
+            )
+            xla_backward_ms = measure(
+                xla_bwd, ab_in, "xla_backward", reps=10, quiet=True
+            )
+            from upright_tpu.solver.pallas_riccati import pallas_backward_pass
+
+            pal = jax.jit(lambda *a: pallas_backward_pass(*a, block=8))
+            pallas_ms = measure(pal, ab_in, "pallas_backward", reps=10, quiet=True)
+        except Exception as e:  # a compile failure is a result, not a crash
+            pallas_ms = f"failed: {type(e).__name__}: {str(e)[:120]}"
+
     print(
         json.dumps(
             {
@@ -235,6 +266,18 @@ def main():
                     "steady_replan_p99_ms": round(steady_p99_ms, 3),
                     "realtime_ok": bool(steady_p99_ms < 25.0),
                     "realtime_budget_ms": 25.0,
+                    # hand Pallas kernel vs production XLA backward, B=512
+                    # dense Riccati (see docs/performance.md, scripts/pallas_ab.py)
+                    "pallas_backward_ms": (
+                        round(pallas_ms, 3)
+                        if isinstance(pallas_ms, float)
+                        else pallas_ms
+                    ),
+                    "xla_backward_ms": (
+                        round(xla_backward_ms, 3)
+                        if isinstance(xla_backward_ms, float)
+                        else xla_backward_ms
+                    ),
                     "horizon_nodes": prob.ocp.N,
                     "nx": prob.ocp.nx,
                     "nu": prob.ocp.nu,

@@ -21,12 +21,17 @@ accept — streaming the stage axis is what makes the kernel fit on real
 hardware.  Numerics match al._backward_pass (same recursion, same
 regularization); correctness is pinned by interpret-mode tests.
 
-Status: the default production backward is the XLA formulation in
-al._backward_pass — its fused [A|B] products + unrolled elementwise
-Cholesky measure 4.2 ms at batch 512 on a v5e chip (4.6x over the blocked
-Cholesky lowering), and under vmap-of-solve Pallas auto-batching would run
-this kernel at block=1, wasting its lane parallelism.  Select the kernel
-explicitly with ``ALConfig(backward="pallas")`` for direct batched use.
+Status (round-3 hardware A/B — docs/pallas_ab_v5e_r3.log, regenerate with
+scripts/pallas_ab.py): the kernel compiles and runs CORRECT on the real
+v5e at block=8 (matches interpret mode to fp32 tolerance) but measures
+79.0 ms/call vs the XLA scan's 42.1 ms at batch 512 on identical inputs;
+block sizes 32/64/128 exceed Mosaic's program-size limits (compile
+failures).  block=8 fills only 8 of the 128 VPU lanes in the unrolled
+Cholesky, and the fused Q-update matmuls are MXU-bound work XLA already
+pipelines optimally, so the production backward is al._backward_pass
+(``ALConfig(backward="scan")``).  This kernel is retained as a documented
+experiment for the long-horizon (N in the hundreds) offline regime;
+select it explicitly with ``ALConfig(backward="pallas")``.
 """
 
 from __future__ import annotations
