@@ -1,0 +1,358 @@
+"""Independent full-OCP transcription: UR10 + die balancing, in torch.
+
+This module is the INDEPENDENT side of the correctness gate demanded by
+VERDICT r2 item 1: it re-derives the whole optimal-control transcription
+from the written spec with ZERO imports from upright_tpu —
+
+  - UR10 forward kinematics from the official standard-DH table (the same
+    independent source as tests/test_fk_oracle.py), with the thing tool /
+    mount transforms taken from the URDF numbers,
+  - EE frame velocity/acceleration via nested forward-mode autodiff on the
+    curve q(t) = q + t v + t^2/2 a (torch.func.jvp — a different AD engine
+    than JAX),
+  - Newton-Euler balance of the die re-derived from first principles in
+    the WORLD frame (the upright_tpu implementation works in the EE frame;
+    the two agree through a frame rotation, which the tests exploit),
+  - the exact triple-integrator discretization, quadratic + EE tracking
+    costs, OCS2's quaternionDistance orientation error (re-implemented
+    from its published formula), and the box limits.
+
+Problem spec (mirrors a patched configs/demos/ur10_demo.yaml: custom
+0.08 m / 0.5 kg die, frictionless, dt = 0.2, N = 10):
+reference semantics per upright_control/src/controller_interface.cpp
+(costs/constraints) and upright_core contact_constraints.h (balance rows).
+
+Everything is float64.  scripts/gen_oracle_golden.py uses this module to
+produce the committed golden artifact (SLSQP from scipy — an optimizer
+upright_tpu never touches); tests/test_independent_oracle.py uses it for
+pointwise physics equivalence and the KKT certificate of our solution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+
+torch.set_default_dtype(torch.float64)
+
+# ---------------------------------------------------------------- spec
+N = 10
+DT = 0.2
+NQ = 6
+NC = 4
+NU = NQ + NC
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+# UR10 standard DH rows (a, alpha, d) — official UR kinematics tables
+DH = [
+    (0.0, np.pi / 2, 0.1273),
+    (-0.612, 0.0, 0.0),
+    (-0.5723, 0.0, 0.0),
+    (0.0, np.pi / 2, 0.163941),
+    (0.0, -np.pi / 2, 0.1157),
+    (0.0, 0.0, 0.0922),
+]
+BASE_XYZ = np.array([-1.0, 1.0, 0.0])
+MOUNT_XYZ = np.array([0.27, 0.01, 0.653])
+MOUNT_RPY = np.array([0.0, 0.0, np.pi])
+TOOL_XYZ = np.array(
+    [0.036712437868118286, -0.0004053786105941981, 0.308562308549881]
+)
+TOOL_RPY = np.array([1.083 * np.pi, -np.pi / 2, 0.0])
+
+HOME = np.array([0.5, -0.25, 0.5, -0.25, 0.5, 0.417]) * np.pi
+
+# die on the tray: mass, com (EE frame), inertia about the CoM (EE frame)
+DIE_MASS = 0.5
+DIE_SIDE = 0.08
+DIE_COM = np.array([0.0, 0.0, DIE_SIDE / 2])
+DIE_I = DIE_MASS / 12.0 * (2 * DIE_SIDE**2) * np.eye(3)
+# contact corners on the tray top face (EE frame, z = 0), in the order the
+# upright_tpu arrangement parser emits them (ordering is naming, not
+# semantics — the tests assert the parsed geometry matches these values)
+CONTACTS = np.array(
+    [
+        [+DIE_SIDE / 2, -DIE_SIDE / 2, 0.0],
+        [+DIE_SIDE / 2, +DIE_SIDE / 2, 0.0],
+        [-DIE_SIDE / 2, +DIE_SIDE / 2, 0.0],
+        [-DIE_SIDE / 2, -DIE_SIDE / 2, 0.0],
+    ]
+)
+NORMAL = np.array([0.0, 0.0, -1.0])  # into the first body of the pair (tray)
+
+# weights (configs/robots/ur10.yaml / configs/controller.yaml)
+W_STATE = 0.01 * np.diag([0.0] * 6 + [10.0] * 6 + [1.0] * 6)
+W_INPUT = np.diag([0.001] * 6 + [0.001] * NC)  # jerk + force_weight
+W_EE_POS = np.eye(3)
+
+JERK_LIM = 80.0
+V_LIM = np.array([2.0, 2.0, 3.0, 3.0, 3.0, 3.0])
+A_LIM = 10.0 * np.ones(6)
+Q_LIM = 2 * np.pi * np.ones(6)
+F_MAX = 100.0  # reference controller_interface.cpp force decision bound
+
+WAYPOINT_OFFSET = np.array([-0.05, -0.05, 0.03])
+
+
+def rpy_to_R(rpy):
+    r, p, y = rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def _fixed_transforms():
+    T_pre = np.eye(4)
+    T_pre[:3, 3] = BASE_XYZ
+    T_mount = np.eye(4)
+    T_mount[:3, :3] = rpy_to_R(MOUNT_RPY)
+    T_mount[:3, 3] = MOUNT_XYZ
+    T_tool = np.eye(4)
+    T_tool[:3, :3] = rpy_to_R(TOOL_RPY)
+    T_tool[:3, 3] = TOOL_XYZ
+    return torch.tensor(T_pre @ T_mount), torch.tensor(T_tool)
+
+
+T_PRE_T, T_TOOL_T = _fixed_transforms()
+G_T = torch.tensor(GRAVITY)
+DIE_COM_T = torch.tensor(DIE_COM)
+DIE_I_T = torch.tensor(DIE_I)
+CONTACTS_T = torch.tensor(CONTACTS)
+NORMAL_T = torch.tensor(NORMAL)
+W_STATE_T = torch.tensor(W_STATE)
+W_INPUT_T = torch.tensor(W_INPUT)
+
+
+def fk_flat(q):
+    """Torch FK: q (6,) -> flat [R (9,), r (3,)] of the tray (EE) frame."""
+    T = T_PRE_T
+    for i, (a, alpha, d) in enumerate(DH):
+        ct, st = torch.cos(q[i]), torch.sin(q[i])
+        ca = torch.tensor(np.cos(alpha))
+        sa = torch.tensor(np.sin(alpha))
+        one = torch.ones(())
+        zero = torch.zeros(())
+        A = torch.stack(
+            [
+                torch.stack([ct, -st * ca, st * sa, a * ct]),
+                torch.stack([st, ct * ca, -ct * sa, a * st]),
+                torch.stack([zero, sa * one, ca * one, d * one]),
+                torch.stack([zero, zero, zero, one]),
+            ]
+        )
+        T = T @ A
+    T = T @ T_TOOL_T
+    return torch.cat([T[:3, :3].reshape(-1), T[:3, 3]])
+
+
+def ee_motion(q, v, a):
+    """EE pose + classical derivatives via nested forward-mode AD on the
+    curve q(t) = q + t v + t^2/2 a: returns C, r, rdot, Cdot, rddot, Cddot."""
+    t0 = torch.zeros(())
+
+    def curve(t):
+        return fk_flat(q + t * v + 0.5 * t * t * a)
+
+    def first(t):
+        return torch.func.jvp(curve, (t,), (torch.ones(()),))
+
+    (val, dval), (_, ddval) = torch.func.jvp(first, (t0,), (torch.ones(()),))
+    C = val[:9].reshape(3, 3)
+    r = val[9:]
+    Cd = dval[:9].reshape(3, 3)
+    rd = dval[9:]
+    Cdd = ddval[:9].reshape(3, 3)
+    rdd = ddval[9:]
+    return C, r, rd, Cd, rdd, Cdd
+
+
+def vee(S):
+    return torch.stack([S[2, 1], S[0, 2], S[1, 0]])
+
+
+def rot_to_quat(C):
+    """Rotation matrix -> quaternion [x, y, z, w], w >= 0 branch (torch)."""
+    w = 0.5 * torch.sqrt(torch.clamp(1.0 + C[0, 0] + C[1, 1] + C[2, 2], min=1e-12))
+    x = (C[2, 1] - C[1, 2]) / (4 * w)
+    y = (C[0, 2] - C[2, 0]) / (4 * w)
+    z = (C[1, 0] - C[0, 1]) / (4 * w)
+    return torch.stack([x, y, z, w])
+
+
+def quat_distance(q, qd):
+    """OCS2's quaternionDistance: w_d*xyz - w*xyz_d - xyz_d x xyz, the
+    imaginary part of the relative quaternion (published OCS2 formula,
+    re-implemented here in torch)."""
+    xyz, w = q[:3], q[3]
+    xyz_d, w_d = qd[:3], qd[3]
+    return w_d * xyz - w * xyz_d - torch.linalg.cross(xyz_d, xyz)
+
+
+def newton_euler_residual(x, u):
+    """6 balance rows at one stage, WORLD frame, mass-normalized.
+
+    Newton about the die CoM and Euler about the CoM with the world-frame
+    inertia I_w = C I C^T — an independent derivation; upright_tpu's rows
+    (core/balance.py object_dynamics_constraints) are the same equations
+    rotated into the EE frame and scaled by 1/sqrt(6).
+    """
+    q, v, a = x[:6], x[6:12], x[12:18]
+    s = u[6:]
+    C, r, rd, Cd, rdd, Cdd = ee_motion(q, v, a)
+
+    # force on the die from contact i: -s_i * normal (the pair's force acts
+    # positively on the first body = the tray)
+    f_die_e = -(s[:, None] * NORMAL_T[None, :]).sum(dim=0)
+
+    newton = DIE_MASS * (rdd + Cdd @ DIE_COM_T - G_T) - C @ f_die_e
+
+    Sw = Cd @ C.T
+    w = vee(Sw)
+    Sal = Cdd @ C.T + Cd @ Cd.T
+    al = vee(Sal)
+    I_w = C @ DIE_I_T @ C.T
+    tau = torch.zeros(3)
+    for i in range(NC):
+        arm = C @ (CONTACTS_T[i] - DIE_COM_T)
+        tau = tau + torch.linalg.cross(arm, C @ (-s[i] * NORMAL_T))
+    euler = I_w @ al + torch.linalg.cross(w, I_w @ w) - tau
+
+    return torch.cat([newton, euler]) / DIE_MASS
+
+
+def dyn_step(x, u):
+    """Exact discrete triple-integrator step (jerk input)."""
+    q, v, a = x[:6], x[6:12], x[12:18]
+    j = u[:6]
+    q1 = q + DT * v + 0.5 * DT**2 * a + DT**3 / 6.0 * j
+    v1 = v + DT * a + 0.5 * DT**2 * j
+    a1 = a + DT * j
+    return torch.cat([q1, v1, a1])
+
+
+X0 = torch.tensor(np.concatenate([HOME, np.zeros(12)]))
+XD = X0.clone()
+
+with torch.no_grad():
+    _f0 = fk_flat(torch.tensor(HOME))
+    R0_HOME = _f0[:9].reshape(3, 3).numpy()
+    R_EE0 = _f0[9:].numpy()
+RD = torch.tensor(R_EE0 + WAYPOINT_OFFSET)
+QD_IDENTITY = torch.tensor([0.0, 0.0, 0.0, 1.0])
+
+
+def rollout(Uflat):
+    U = Uflat.reshape(N, NU)
+    xs = [X0]
+    for k in range(N):
+        xs.append(dyn_step(xs[-1], U[k]))
+    return torch.stack(xs), U
+
+
+def stage_cost(x, u, w_orn=0.0, qd=QD_IDENTITY):
+    """One stage of the objective: quadratic state/input + EE tracking."""
+    dx = x - XD
+    c = 0.5 * dx @ W_STATE_T @ dx + 0.5 * u @ W_INPUT_T @ u
+    C, r, *_ = ee_motion(x[:6], x[6:12], x[12:18])
+    e = r - RD
+    c = c + 0.5 * e @ e
+    if w_orn:
+        eo = quat_distance(rot_to_quat(C), qd)
+        c = c + 0.5 * w_orn * eo @ eo
+    return c
+
+
+def objective_t(Uflat, w_orn=0.0):
+    X, U = rollout(Uflat)
+    cost = torch.zeros(())
+    for k in range(N):
+        cost = cost + stage_cost(X[k], U[k], w_orn=w_orn)
+    return cost
+
+
+def eq_vec_t(Uflat, drop_stage0_constants=False):
+    """All equality rows: per-stage Newton-Euler + terminal stationarity.
+
+    drop_stage0_constants: at the fixed x0 only the normal-direction Newton
+    row and the tangential Euler rows depend on the decision variables; the
+    other three are constants (== 0 at rest).  SLSQP's LSQ subproblem
+    rejects constant rows, so the golden generator drops them (the feasible
+    set is unchanged); the KKT test keeps all rows.
+    """
+    X, U = rollout(Uflat)
+    rows = []
+    for k in range(N):
+        r = newton_euler_residual(X[k], U[k])
+        if k == 0 and drop_stage0_constants:
+            assert float(torch.abs(r[torch.tensor([0, 1, 5])]).max()) < 1e-12
+            r = r[torch.tensor([2, 3, 4])]
+        rows.append(r)
+    _, r, *_ = ee_motion(X[N][:6], X[N][6:12], X[N][12:18])
+    rows.append(r - RD)
+    rows.append(X[N][6:18])
+    return torch.cat(rows)
+
+
+def ineq_vec_t(Uflat):
+    """State box rows, >= 0 feasible (input boxes are bounds on z)."""
+    X, _ = rollout(Uflat)
+    rows = []
+    qlim = torch.tensor(Q_LIM)
+    vlim = torch.tensor(V_LIM)
+    alim = torch.tensor(A_LIM)
+    for k in range(N):
+        xr = X[k]
+        rows += [
+            xr[:6] + qlim, qlim - xr[:6],
+            xr[6:12] + vlim, vlim - xr[6:12],
+            xr[12:18] + alim, alim - xr[12:18],
+        ]
+    return torch.cat(rows)
+
+
+def z_bounds():
+    u_lo = np.concatenate([-JERK_LIM * np.ones(6), np.zeros(NC)])
+    u_hi = np.concatenate([JERK_LIM * np.ones(6), F_MAX * np.ones(NC)])
+    return np.tile(u_lo, N), np.tile(u_hi, N)
+
+
+def np_fun(f, **kw):
+    def fun(z):
+        return f(torch.tensor(z), **kw).detach().numpy()
+
+    def jac(z):
+        return torch.func.jacrev(lambda t: f(t, **kw))(torch.tensor(z)).numpy()
+
+    return fun, jac
+
+
+def ocp_config_patch(config):
+    """Patch a loaded ur10_demo config dict to this module's problem spec
+    (custom die arrangement, dt = 0.2, N = 10, offset waypoint).  The test
+    asserts the parsed geometry matches the module constants."""
+    config["controller"]["objects"]["oracle_die"] = {
+        "shape": "cuboid",
+        "side_lengths": [DIE_SIDE] * 3,
+        "mass": DIE_MASS,
+    }
+    config["controller"]["arrangements"]["oracle_die_arr"] = {
+        "objects": [{"name": "die", "type": "oracle_die", "parent": "ee"}],
+        "contacts": [{"first": "ee", "second": "die", "mu": 0.5}],
+    }
+    config["controller"]["balancing"]["arrangement"] = "oracle_die_arr"
+    config["controller"]["sqp"] = dict(
+        config["controller"].get("sqp", {}), dt=DT
+    )
+    config["controller"]["mpc"]["time_horizon"] = N * DT
+    config["controller"]["waypoints"] = [
+        {
+            "time": 0.0,
+            "position": WAYPOINT_OFFSET.tolist(),
+            "orientation": [0, 0, 0, 1],
+        }
+    ]
+    return config

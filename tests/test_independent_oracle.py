@@ -1,0 +1,291 @@
+"""Independent-oracle gate (VERDICT r2 item 1): verify the full constrained
+OCP and its physics against a transcription that shares ZERO code with
+upright_tpu (tests/independent_oracle.py: torch AD, standard-DH FK,
+world-frame Newton-Euler from first principles, scipy SLSQP golden point).
+
+Layers of the gate:
+  1. pointwise physics equivalence — FK, EE motion derivatives, the
+     Newton-Euler balance rows (ours are the EE-frame rotation of the
+     independent world-frame rows, scaled by 1/sqrt(6)), the discrete
+     dynamics step, and the stage cost including the OCS2
+     quaternionDistance orientation convention;
+  2. KKT certificate (slow) — our converged solution is a constrained
+     stationary point of the INDEPENDENT transcription: independent-eq
+     feasibility, least-squares multipliers give a small stationarity
+     residual with correctly-signed inequality/bound multipliers;
+  3. golden dominance (slow) — our solution achieves a lower
+     independent-objective value than the committed feasible point found
+     by SLSQP (tests/data/oracle_slsqp_ur10.npz, an optimizer upright_tpu
+     never touches), with stage-0 contact forces agreeing to 1e-3.
+
+Reference parity: the reference's de-facto oracle is third-party code
+(PyBullet / Pinocchio cross-asserts, upright_robust planning_sim_loop.py:
+102-106); this file is the analogous external gate for upright_tpu.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import independent_oracle as oracle
+
+import upright_tpu.config as cfg_mod
+from upright_tpu.ocp.problem import build_problem
+from upright_tpu.solver.al import ALConfig, solve
+from upright_tpu.solver.ocp import zeros_warm_start
+
+
+@pytest.fixture(scope="module")
+def prob():
+    path = cfg_mod.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    config = oracle.ocp_config_patch(cfg_mod.load_config(path))
+    p = build_problem(config)
+    assert p.ocp.N == oracle.N
+    return p
+
+
+def rand_xu(rng, scale_q=0.3, scale_v=0.5, scale_a=1.0, scale_f=3.0):
+    x = np.concatenate(
+        [
+            oracle.HOME + scale_q * rng.standard_normal(6),
+            scale_v * rng.standard_normal(6),
+            scale_a * rng.standard_normal(6),
+        ]
+    )
+    u = np.concatenate(
+        [
+            2.0 * rng.standard_normal(6),
+            oracle.DIE_MASS * 9.81 / 4 + scale_f * rng.random(4),
+        ]
+    )
+    return x, u
+
+
+def test_parsed_geometry_matches_spec(prob):
+    """The config parser must reproduce the hand-written oracle geometry."""
+    m = prob.balance_model
+    np.testing.assert_allclose(np.asarray(m.normal)[0], oracle.NORMAL, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.r1), oracle.CONTACTS, atol=1e-12)
+    mass = float(m.params[0, 0])
+    com = np.asarray(m.params[0, 1:4]) / mass
+    assert abs(mass - oracle.DIE_MASS) < 1e-12
+    np.testing.assert_allclose(com, oracle.DIE_COM, atol=1e-12)
+    # inertia about the CoM in the EE frame, packed as vech3 (6 entries)
+    v = np.asarray(m.params[0, 4:10])
+    I_com = np.array(
+        [
+            [v[0], v[1], v[2]],
+            [v[1], v[3], v[4]],
+            [v[2], v[4], v[5]],
+        ]
+    )
+    np.testing.assert_allclose(I_com, oracle.DIE_I, atol=1e-12)
+
+
+def test_fk_and_target_match(prob):
+    f0 = oracle.fk_flat(torch.tensor(oracle.HOME))
+    C_t = f0[:9].reshape(3, 3).numpy()
+    r_t = f0[9:].numpy()
+    C_j, r_j = prob.robot.ee_pose(jnp.asarray(oracle.HOME))
+    np.testing.assert_allclose(np.asarray(r_j), r_t, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(C_j), C_t, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(prob.target.poses[0, :3]),
+        r_t + oracle.WAYPOINT_OFFSET,
+        atol=1e-12,
+    )
+
+
+def test_ee_motion_matches(prob):
+    """Velocity/acceleration-level kinematics vs torch nested-JVP."""
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        x, _ = rand_xu(rng)
+        q, v, a = x[:6], x[6:12], x[12:18]
+        C, r, rd, Cd, rdd, Cdd = (
+            t.detach().numpy()
+            for t in oracle.ee_motion(
+                torch.tensor(q), torch.tensor(v), torch.tensor(a)
+            )
+        )
+        ee = prob.robot.ee_state(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ee.r_ew_w), r, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ee.C_we), C, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ee.v_ew_w), rd, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ee.a_ew_w), rdd, atol=1e-8)
+        # angular velocity/acceleration from the matrix derivatives
+        w = Cd @ C.T
+        w_vec = np.array([w[2, 1], w[0, 2], w[1, 0]])
+        Sal = Cdd @ C.T + Cd @ Cd.T
+        al_vec = np.array([Sal[2, 1], Sal[0, 2], Sal[1, 0]])
+        np.testing.assert_allclose(np.asarray(ee.w_ew_w), w_vec, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ee.alpha_ew_w), al_vec, atol=1e-8)
+
+
+def test_newton_euler_pointwise(prob):
+    """Our balance equality rows are the EE-frame rotation of the
+    independent world-frame Newton-Euler residual, scaled by 1/sqrt(6)."""
+    rng = np.random.default_rng(2)
+    params = prob.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    for _ in range(8):
+        x, u = rand_xu(rng)
+        ours = np.asarray(prob.ocp.eq(jnp.asarray(x), jnp.asarray(u), p0))
+        r_t = (
+            oracle.newton_euler_residual(torch.tensor(x), torch.tensor(u))
+            .detach()
+            .numpy()
+        )
+        C = oracle.ee_motion(
+            torch.tensor(x[:6]), torch.tensor(x[6:12]), torch.tensor(x[12:18])
+        )[0].detach().numpy()
+        rot = C.T  # world -> EE
+        expected = (
+            np.concatenate([rot @ r_t[:3], rot @ r_t[3:]]) / np.sqrt(6.0)
+        )
+        np.testing.assert_allclose(ours, expected, atol=1e-8)
+
+
+def test_dynamics_step_matches(prob):
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        x, u = rand_xu(rng)
+        ours = np.asarray(prob.ocp.dynamics(jnp.asarray(x), jnp.asarray(u), None))
+        ref = oracle.dyn_step(torch.tensor(x), torch.tensor(u)).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_stage_cost_pointwise(prob):
+    rng = np.random.default_rng(4)
+    params = prob.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    for _ in range(8):
+        x, u = rand_xu(rng)
+        ours = float(prob.ocp.stage_cost(jnp.asarray(x), jnp.asarray(u), p0))
+        ref = float(oracle.stage_cost(torch.tensor(x), torch.tensor(u)))
+        assert abs(ours - ref) < 1e-9 * max(1.0, abs(ref))
+
+
+def test_stage_cost_orientation_convention():
+    """Pin the OCS2 quaternionDistance orientation-error convention: build
+    the problem with a nonzero orientation weight and compare the stage
+    cost against the independent torch formula at large random rotations
+    (cost is invariant to the quaternion sign branch, so this compares the
+    conventions, not the sign choices)."""
+    path = cfg_mod.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    config = oracle.ocp_config_patch(cfg_mod.load_config(path))
+    config["controller"]["weights"]["end_effector"] = {
+        "scale": 1,
+        "diag": [1, 1, 1, 1, 1, 1],
+    }
+    p = build_problem(config)
+    qd = oracle.rot_to_quat(torch.tensor(oracle.R0_HOME))
+    params = p.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        x, u = rand_xu(rng, scale_q=0.8)
+        ours = float(p.ocp.stage_cost(jnp.asarray(x), jnp.asarray(u), p0))
+        ref = float(
+            oracle.stage_cost(torch.tensor(x), torch.tensor(u), w_orn=1.0, qd=qd)
+        )
+        assert abs(ours - ref) < 1e-9 * max(1.0, abs(ref))
+
+
+# ---------------------------------------------------------------------------
+# full-OCP certificate
+# ---------------------------------------------------------------------------
+
+
+def _solve_ours(prob):
+    al = ALConfig(iterations=1000, rho_eq=100.0, rho_ineq=100.0)
+    sol = jax.jit(lambda p, x, s: solve(prob.ocp, al, p, x, s))(
+        prob.stage_params(0.0), prob.x0, zeros_warm_start(prob.ocp, prob.x0)
+    )
+    return sol
+
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data", "oracle_slsqp_ur10.npz")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN),
+    reason="golden artifact pending (scripts/gen_oracle_golden.py running)",
+)
+def test_kkt_certificate_and_golden_dominance(prob):
+    sol = _solve_ours(prob)
+    U_ours = np.asarray(sol.state.U)
+    z = U_ours.reshape(-1)
+
+    # --- independent feasibility of our solution -------------------------
+    eq_f, eq_j = oracle.np_fun(oracle.eq_vec_t)
+    iq_f, _ = oracle.np_fun(oracle.ineq_vec_t)
+    obj_f, obj_j = oracle.np_fun(oracle.objective_t)
+    c_eq = eq_f(z)
+    h = iq_f(z)
+    assert np.abs(c_eq).max() < 2e-4, np.abs(c_eq).max()
+    assert h.min() > -1e-6, h.min()
+
+    # --- KKT stationarity with least-squares multipliers -----------------
+    g = obj_j(z)
+    Jeq = eq_j(z)
+    lo, hi = oracle.z_bounds()
+    act_iq = h < 1e-5
+    # active bounds (gradient rows are +-unit vectors)
+    act_lo = z - lo < 1e-7
+    act_hi = hi - z < 1e-7
+    cols = [Jeq.T]
+    n_eq = Jeq.shape[0]
+    if act_iq.any():
+        _, iq_jac = oracle.np_fun(oracle.ineq_vec_t)
+        cols.append(-iq_jac(z)[act_iq].T)
+    B = []
+    for i in np.where(act_lo)[0]:
+        e = np.zeros_like(z)
+        e[i] = -1.0  # lower bound: z - lo >= 0 has gradient +e_i; -grad^T mu
+        B.append(e)
+    for i in np.where(act_hi)[0]:
+        e = np.zeros_like(z)
+        e[i] = 1.0
+        B.append(e)
+    if B:
+        cols.append(-np.stack(B, axis=1))
+    A = np.concatenate(cols, axis=1)
+    m, *_ = np.linalg.lstsq(A, -g, rcond=None)
+    resid = np.linalg.norm(g + A @ m)
+    rel = resid / max(np.linalg.norm(g), 1e-12)
+    # stationarity of the INDEPENDENT transcription at our solution
+    assert rel < 1e-2, (rel, resid)
+    # inequality/bound multipliers must be (weakly) nonnegative
+    mu = m[n_eq:]
+    scale = max(1.0, np.abs(m).max())
+    assert mu.min() > -1e-3 * scale, mu.min()
+
+    # --- dominance over the committed independent golden point -----------
+    data = np.load(GOLDEN)
+    z_gold = data["U"].reshape(-1)
+    # re-verify the artifact with the independent evaluators (not trusting
+    # the stored scalars)
+    assert np.abs(eq_f(z_gold)).max() < 1e-8
+    assert iq_f(z_gold).min() > -1e-9
+    f_gold = obj_f(z_gold)
+    f_ours = obj_f(z)
+    # our infeasibility can buy at most ~||lambda||*||c|| ~ 1e-4 of cost;
+    # require dominance beyond that margin or near-equality
+    assert f_ours <= f_gold + 5e-4, (f_ours, f_gold)
+
+    # stage-0 contact forces: fully determined by the (fixed) initial state
+    # -> must agree tightly between the two transcriptions
+    np.testing.assert_allclose(
+        U_ours[0, 6:], data["U"][0, 6:], atol=1e-3
+    )
