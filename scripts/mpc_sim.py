@@ -111,14 +111,19 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
             ee = ctrl.problem.robot.ee_state(
                 np.asarray(x)[: ctrl.problem.dims.robot_x]
             )
+            rd, qd, _s = ctrl.target.interpolate(t)
             entry = {
                 "t": t,
                 "x": x,
+                "xd": np.asarray(xd),
                 "u": np.asarray(u),
                 "cmd_vel": v_cmd,
                 "r_ew_w": r_ew,
+                "r_ew_w_d": np.asarray(rd),
                 "Q_we": np.asarray(rot_to_quat(R_we)),
+                "Q_we_d": np.asarray(qd),
                 "v_ew_w": np.asarray(ee.v_ew_w),
+                "w_ew_w": np.asarray(ee.w_ew_w),
                 "constraint_eq": np.asarray(cons["equality"]),
                 "constraint_ineq_min": float(np.min(np.asarray(cons["inequality"])))
                 if cons["inequality"].shape[0]

@@ -10,7 +10,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from upright_tpu.core.logging import DataLogger, DataPlotter
+from upright_tpu.core.logging import DataPlotter
 
 
 def main():
@@ -20,8 +20,7 @@ def main():
     parser.add_argument("--show", action="store_true")
     args = parser.parse_args()
 
-    data = DataLogger.load(args.log_dir)
-    plotter = DataPlotter(data)
+    plotter = DataPlotter.from_log_dir(args.log_dir)
     plotter.plot_all(path=args.out or "plots.png", show=args.show)
     if not args.show:
         print(f"wrote {args.out or 'plots.png'}")

@@ -266,10 +266,12 @@ def test_kkt_certificate_and_golden_dominance(prob):
     rel = resid / max(np.linalg.norm(g), 1e-12)
     # stationarity of the INDEPENDENT transcription at our solution
     assert rel < 1e-2, (rel, resid)
-    # inequality/bound multipliers must be (weakly) nonnegative
+    # inequality/bound multipliers must be (weakly) nonnegative (vacuous
+    # when nothing is active — the solution is interior)
     mu = m[n_eq:]
-    scale = max(1.0, np.abs(m).max())
-    assert mu.min() > -1e-3 * scale, mu.min()
+    if mu.size:
+        scale = max(1.0, np.abs(m).max())
+        assert mu.min() > -1e-3 * scale, mu.min()
 
     # --- dominance over the committed independent golden point -----------
     data = np.load(GOLDEN)
