@@ -218,10 +218,6 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "data", "oracle_slsqp_ur10.npz"
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(
-    not os.path.exists(GOLDEN),
-    reason="golden artifact pending (scripts/gen_oracle_golden.py running)",
-)
 def test_kkt_certificate_and_golden_dominance(prob):
     sol = _solve_ours(prob)
     U_ours = np.asarray(sol.state.U)
