@@ -153,3 +153,57 @@ def test_closed_loop_projectile_dodge():
     # the bottle survived the dodge
     disp = sim.object_displacements(state)
     assert (disp < 0.05).all(), disp
+
+
+def test_projectile_plane_constraint():
+    """Experimental plane variant (reference projectile_plane_constraint.h:
+    36-55, disabled in controller_interface.cpp:287-289): one s-gated row
+    s * (n.(r_ew - r_obs) - w) appended after the path-distance rows."""
+    conf = cfg.load_config(
+        cfg.resolve_package_path(
+            {"package": "configs", "path": "demos/thing_projectile_demo.yaml"}
+        )
+    )
+    normal = [0.0, 1.0, 0.0]
+    conf["controller"]["projectile_plane_constraint"] = {
+        "enabled": True,
+        "distance": 0.3,
+        "normal": normal,
+    }
+    prob = build_problem(conf)
+    assert ("projectile_plane", 1) in prob.ineq_groups
+
+    params = prob.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    x = jnp.asarray(prob.x0)
+    h = prob.ocp.ineq(x, jnp.zeros(prob.ocp.nu), p0)
+
+    # hand formula at the initial state
+    r_ee = prob.robot.ee_state(x[: prob.dims.robot_x]).r_ew_w
+    r_obs = x[prob.dims.robot_x : prob.dims.robot_x + 3]
+    s = float(prob.target.poses[0, 7])
+    expected = s * (np.asarray(normal) @ np.asarray(r_ee - r_obs) - 0.3)
+    assert np.isclose(float(h[-1]), expected, atol=1e-12)
+
+    # the s flag gates the row exactly: activate it and re-evaluate
+    import jax.numpy as jnp2
+
+    poses_on = np.asarray(prob.target.poses).copy()
+    poses_on[:, 7] = 1.0
+    tgt_on = prob.target.replace(poses=jnp2.asarray(poses_on))
+    p_on = {
+        k: v[0] for k, v in prob.stage_params(0.0, tgt_on)["stage"].items()
+    }
+    h_on = prob.ocp.ineq(x, jnp.zeros(prob.ocp.nu), p_on)
+    expected_on = np.asarray(normal) @ np.asarray(r_ee - r_obs) - 0.3
+    assert np.isclose(float(h_on[-1]), expected_on, atol=1e-12)
+
+    # solver runs with the extra row
+    from upright_tpu.solver.al import ALConfig, solve
+    from upright_tpu.solver.ocp import zeros_warm_start
+
+    sol = solve(
+        prob.ocp, ALConfig(iterations=3), params, prob.x0,
+        zeros_warm_start(prob.ocp, prob.x0),
+    )
+    assert np.isfinite(float(sol.cost))

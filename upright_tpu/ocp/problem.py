@@ -530,6 +530,25 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     proj_distances = np.asarray(proj_conf.get("distances", []), dtype=float)
     proj_scale = float(proj_conf.get("scale", 1.0))
 
+    # projectile PLANE variant (projectile_plane_constraint.h:36-55, the
+    # reference's experimental alternative, disabled in its
+    # controller_interface.cpp:287-289): keep the EE on the far side of a
+    # plane through the projectile, s * (n.(r_ew - r_obs) - w) >= 0.  The
+    # reference hard-codes w = 0.3 and reads n from an extended target
+    # state; here both are config keys (distance, normal).
+    plane_conf = ctrl.get("projectile_plane_constraint", {"enabled": False})
+    plane_enabled = bool(plane_conf.get("enabled", False)) and num_obstacles > 0
+    plane_w = float(plane_conf.get("distance", 0.3))
+    plane_n = np.asarray(plane_conf.get("normal", [0.0, 1.0, 0.0]), dtype=float)
+    plane_n = plane_n / np.linalg.norm(plane_n)
+    plane_n_j = jnp.asarray(plane_n)
+
+    def _projectile_plane_rows(x, p):
+        _rd, _qd, s = interp_target(p)
+        r_obs = x[dims.robot_x : dims.robot_x + 3]
+        r_ee = ee_state_of(x).r_ew_w
+        return jnp.stack([s * (plane_n_j @ (r_ee - r_obs) - plane_w)])
+
     def _projectile_rows(x, p):
         q = x[:nq]
         _sd, _qd, s = interp_target(p)
@@ -606,6 +625,8 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         # projectile path avoidance
         if proj_enabled and proj_links:
             rows.append(_projectile_rows(x, p))
+        if plane_enabled:
+            rows.append(_projectile_plane_rows(x, p))
         if not rows:
             return jnp.zeros((0,))
         return jnp.concatenate(rows)
@@ -691,6 +712,8 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         ineq_groups.append(("collision_pair_distances", len(collision_pairs)))
     if proj_enabled and proj_links:
         ineq_groups.append(("projectile_distances", len(proj_links)))
+    if plane_enabled:
+        ineq_groups.append(("projectile_plane", 1))
     assert sum(n for _, n in ineq_groups) == n_ineq, (ineq_groups, n_ineq)
 
     n_pre_rows = 5 * nc if (nc > 0 and not frictionless) else 0
