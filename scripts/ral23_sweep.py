@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Run a ral23 experiment family end-to-end and record the results table
+(VERDICT r2 item 4b): closed-loop MPC over every leaf of
+configs/ral23/<family>/, with each experiment group's three waypoints
+executed as ONE vmapped on-device closed loop (runtime/device_loop.py —
+replan + policy + plant in a single lax.scan, batched over targets).
+
+Reference parity: the reference runs these one at a time through
+upright_cmd/scripts/mpc_sim.py per leaf (upright_cmd/config/ral23/**);
+here a family is a handful of compiles + vmapped batches.
+
+Metrics per run: final EE error to the commanded waypoint, max balanced-
+object displacement in the tray frame (failure if > 7 cm — half the tray),
+and the max balance-constraint violation the solver reported along the way.
+
+Writes docs/ral23_results.json + docs/ral23_results.md.
+Usage: python scripts/ral23_sweep.py [--families static_obstacles,freespace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import upright_tpu.config as cfg
+from upright_tpu.ocp.problem import build_problem
+from upright_tpu.ocp.reference import TargetTrajectory
+from upright_tpu.runtime.device_loop import build_device_loop
+from upright_tpu.sim.simulation import UprightSimulation
+from upright_tpu.solver.al import ALConfig
+
+FAIL_DISP_M = 0.07  # half the tray half-extent: the object is gone
+
+
+def discover_groups(family_dir: Path):
+    """Group leaves by experiment stem: ``<variant>_<arr>_point{k}`` leaves
+    form one vmapped group; other leaves (arm_only, sudden-obstacle times)
+    are single-run groups."""
+    leaves = sorted(
+        p for p in glob.glob(str(family_dir / "*.yaml"))
+        if not Path(p).name.startswith("_")
+    )
+    groups = collections.defaultdict(list)
+    for p in leaves:
+        m = re.match(r"(.+)_point(\d+)$", Path(p).stem)
+        key = m.group(1) if m else Path(p).stem
+        groups[key].append(p)
+    return dict(groups)
+
+
+def run_group(name, paths, ctrl_rate=100.0):
+    config = cfg.load_config(paths[0])
+    prob = build_problem(config)
+    sim = UprightSimulation(config["simulation"])
+    solver_conf = config["controller"].get("solver", {})
+    sqp_conf = config["controller"].get("sqp", {})
+    al_cfg = ALConfig(
+        iterations=int(sqp_conf.get("sqp_iteration", 1)),
+        rho_eq=float(solver_conf.get("rho_eq", 10.0)),
+        rho_ineq=float(solver_conf.get("rho_ineq", 10.0)),
+    )
+    init_carry, run = build_device_loop(
+        prob, sim, al_cfg=al_cfg, ctrl_rate=ctrl_rate,
+        use_feedback_policy=bool(sqp_conf.get("use_feedback_policy", True)),
+    )
+
+    # one target per leaf, built exactly as build_problem does
+    nq = prob.dims.robot_q
+    R0, r0 = prob.robot.ee_pose(prob.x0[:nq])
+    from upright_tpu.core.math import rot_to_quat
+
+    q0 = rot_to_quat(R0)
+    targets = []
+    for p in paths:
+        c = cfg.load_config(p)
+        targets.append(
+            TargetTrajectory.from_waypoints(
+                c["controller"].get("waypoints", [{"time": 0.0}]),
+                np.asarray(r0), np.asarray(q0),
+            )
+        )
+    tgt_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *targets)
+
+    duration = float(config["simulation"].get("duration", 5.0))
+    n_replans = int(round(duration * ctrl_rate))
+
+    t0 = time.time()
+    carries = jax.jit(jax.vmap(lambda t: init_carry(target=t)))(tgt_batch)
+    batched = jax.jit(
+        jax.vmap(lambda c, t: run(c, n_replans, target=t))
+    )
+    final, metrics = batched(carries, tgt_batch)
+    jax.block_until_ready(final.t)
+    wall = time.time() - t0
+
+    rows = []
+    for b, path in enumerate(paths):
+        one = jax.tree.map(lambda x: x[b], final)
+        tgt = jax.tree.map(lambda x: x[b], tgt_batch)
+        disp = (
+            np.asarray(sim.object_displacements(one.sim))
+            if sim.n_obj
+            else np.zeros(1)
+        )
+        ee_err = float(
+            np.linalg.norm(
+                np.asarray(metrics.r_ew_w[b, -1]) - np.asarray(tgt.poses[-1, :3])
+            )
+        )
+        worst = float(disp.max())
+        # a non-finite displacement is the plant diverging AFTER the object
+        # left the tray (free tumbling overflows in f32) — a failure, not
+        # a measurement
+        rows.append(
+            {
+                "leaf": str(Path(path).relative_to(Path(path).parents[2])),
+                "ee_err_m": round(ee_err, 4),
+                "max_obj_disp_m": (
+                    round(worst, 4) if np.isfinite(worst) else "diverged"
+                ),
+                "failed": bool(worst > FAIL_DISP_M or not np.isfinite(worst)),
+                "max_eq_viol": float(np.asarray(metrics.eq_viol[b]).max()),
+            }
+        )
+    disps = [
+        r["max_obj_disp_m"] for r in rows
+        if isinstance(r["max_obj_disp_m"], float)
+    ]
+    n_div = sum(1 for r in rows if r["max_obj_disp_m"] == "diverged")
+    print(
+        f"  {name}: {len(paths)} runs in {wall:.0f}s, "
+        f"max disp {max(disps) if disps else float('nan'):.3f} m"
+        + (f" ({n_div} diverged)" if n_div else ""),
+        flush=True,
+    )
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="static_obstacles,freespace")
+    ap.add_argument("--groups", default=None,
+                    help="comma-separated group-name filter (debugging)")
+    ap.add_argument("--ctrl-rate", type=float, default=100.0)
+    ap.add_argument(
+        "--out",
+        default=str(
+            Path(__file__).resolve().parents[1] / "docs" / "ral23_results.json"
+        ),
+    )
+    args = ap.parse_args()
+
+    root = Path(__file__).resolve().parents[1] / "configs" / "ral23"
+    results = {}
+    for family in args.families.split(","):
+        print(f"family {family}:", flush=True)
+        fam_rows = []
+        wanted = args.groups.split(",") if args.groups else None
+        for name, paths in sorted(discover_groups(root / family).items()):
+            if wanted and name not in wanted:
+                continue
+            fam_rows.extend(run_group(name, paths, ctrl_rate=args.ctrl_rate))
+        results[family] = fam_rows
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"saved {args.out}")
+
+    md = Path(args.out).with_suffix(".md")
+    lines = [
+        "# ral23 experiment sweep (recorded results)",
+        "",
+        "Generated by `scripts/ral23_sweep.py` — every leaf of each family",
+        "run closed-loop (100 Hz replanning, full duration), experiment",
+        "groups batched as single vmapped device loops.  failure = balanced",
+        f"object displaced > {FAIL_DISP_M*100:.0f} cm in the tray frame.",
+        "",
+    ]
+    for family, rows in results.items():
+        n_fail = sum(r["failed"] for r in rows)
+        lines += [
+            f"## {family} — {len(rows)} runs, {n_fail} failures",
+            "",
+            "| leaf | EE err (m) | max obj disp (m) | failed |",
+            "|---|---|---|---|",
+        ]
+        for r in rows:
+            disp = r["max_obj_disp_m"]
+            disp_s = f"{disp:.3f}" if isinstance(disp, float) else disp
+            lines.append(
+                f"| {Path(r['leaf']).name} | {r['ee_err_m']:.3f} "
+                f"| {disp_s} | {'X' if r['failed'] else ''} |"
+            )
+        lines.append("")
+    md.write_text("\n".join(lines))
+    print(f"saved {md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -203,13 +203,20 @@ def make_param_sweep(sim, com_offsets=None, mass_scales=None, inertia_scales=Non
 def ral25_protocol(config, com_half_extents=None, waypoints=None,
                    inertia_scales=(1.0, 0.5, 0.1), iterations=60,
                    duration=None, kp=10.0, approx_bounds=False,
-                   use_parallel_scan=False, failure_threshold=0.5):
+                   use_parallel_scan=False, failure_threshold=0.5,
+                   com_variant="robust"):
     """The reference robust experiment, end-to-end (planning_sim_loop.py
     :548-655 + process_sim_runs.py): for each waypoint, solve ONE offline
-    robust plan (8 CoM-vertex scenarios in one OCP), then track it under the
-    full 15-CoM x len(inertia_scales) grid of true inertial parameters with
-    per-CoM **worst-case inertias** (synthesis.max_min_eig_inertia) — the
-    whole 45-run sweep per waypoint is one vmapped rollout.
+    plan, then track it under the full 15-CoM x len(inertia_scales) grid of
+    true inertial parameters with per-CoM **worst-case inertias**
+    (synthesis.max_min_eig_inertia) — the whole 45-run sweep per waypoint is
+    one vmapped rollout.
+
+    com_variant selects the planner's CoM model (reference --com flag,
+    planning_sim_loop.py:426-431):
+      "robust"  — 8 CoM-vertex scenarios in one OCP,
+      "center" / "top" / "bottom" — nominal single-CoM planning with the
+      CoM pinned at the centroid / +z / -z extreme of the uncertainty box.
 
     com_half_extents: CoM-box half extents per object; defaults to the
     config's ``bounds`` schema (robust/parsing.py:10-101 equivalent).
@@ -250,14 +257,51 @@ def ral25_protocol(config, com_half_extents=None, waypoints=None,
         for co in com_offsets
     ]
 
+    # explicit-integration stability across the SWEEP: the auto substep
+    # count is sized for the nominal inertia, but the 0.1-scaled worst-case
+    # inertias have a much stiffer rotational contact mode (omega ~
+    # 1/sqrt(I)); without this the light-inertia runs integrate unstably
+    # and return NaN displacements
+    I_min_nom = min(
+        float(np.diag(np.asarray(sp.inertia_local)).min()) for sp in sim.specs
+    )
+    I_min_sweep = min(
+        float(s * np.diag(I).min())
+        for I in worst_inertias
+        for s in inertia_scales
+    )
+    if I_min_sweep < I_min_nom:
+        factor = float(np.sqrt(I_min_nom / max(I_min_sweep, 1e-12)))
+        config = _copy.deepcopy(config)
+        config["simulation"]["object_substeps"] = int(
+            np.ceil(sim.object_substeps * factor)
+        )
+        sim = UprightSimulation(config["simulation"])
+
+    if com_variant not in ("robust", "center", "top", "bottom"):
+        raise ValueError(f"unknown com_variant {com_variant!r}")
+    plan_extents = com_half_extents if com_variant == "robust" else None
+
     results = []
     for wp in waypoints:
         wp_config = _copy.deepcopy(config)
         wp_config["controller"]["waypoints"] = [
             {"time": 0, "position": list(np.asarray(wp)), "orientation": [0, 0, 0, 1]}
         ]
+        if com_variant in ("top", "bottom"):
+            # nominal planning with the CoM pinned at a box extreme
+            # (reference planning_sim_loop.py:495-501)
+            sign = 1.0 if com_variant == "top" else -1.0
+            arr = wp_config["controller"]["arrangements"][
+                wp_config["controller"]["balancing"]["arrangement"]
+            ]
+            for i, obj in enumerate(arr["objects"]):
+                dz = sign * float(np.asarray(com_half_extents[i])[2])
+                wp_config["controller"]["objects"][obj["type"]][
+                    "com_offset"
+                ] = [0.0, 0.0, dz]
         prob, sol, plan = plan_robust(
-            wp_config, com_half_extents=com_half_extents,
+            wp_config, com_half_extents=plan_extents,
             duration=duration, iterations=iterations,
             use_parallel_scan=use_parallel_scan,
         )
@@ -267,17 +311,25 @@ def ral25_protocol(config, com_half_extents=None, waypoints=None,
             inertias=worst_inertias,
         )
         disp = tracking_sweep(sim, plan, sweep, kp=kp)
+        from upright_tpu.robust.verification import count_failures
+
+        worst = disp.max(axis=1)
+        finite = worst[np.isfinite(worst)]
         results.append(
             {
                 "waypoint": list(np.asarray(wp, dtype=float)),
                 "runs": int(disp.shape[0]),
-                "failures": int((disp.max(axis=1) > failure_threshold).sum()),
-                "max_displacement_m": float(disp.max()),
+                "failures": count_failures(disp, failure_threshold),
+                "n_diverged": int((~np.isfinite(worst)).sum()),
+                "max_displacement_m": (
+                    float(finite.max()) if finite.size else float("nan")
+                ),
                 "plan_eq_violation": float(sol.eq_viol),
             }
         )
     total = {
         "protocol": "ral25",
+        "com_variant": com_variant,
         "runs": sum(r["runs"] for r in results),
         "failures": sum(r["failures"] for r in results),
         "waypoints": results,

@@ -82,10 +82,18 @@ def sample_inertial_params(base_params, rng, n_samples, com_half_extents=None,
 
 def stack_vertex_scenarios_in_model(model, com_half_extents):
     """The reference's in-OCP robust mode: replicate every object 8x (one per
-    CoM-box vertex) inside ONE balance model sharing the contact geometry.
+    CoM-box vertex) inside ONE balance model, each scenario with its OWN
+    copy of the contact points.
 
-    The equality constraints then force one trajectory to balance all
-    scenarios simultaneously (planning_sim_loop.py:513-534).
+    The reference builds the robust arrangement as 8 separate objects each
+    with their own contact set (planning_sim_loop.py:513-534 +
+    make_arrangement_config) — the shared decision variables are the
+    MOTION, not the contact forces.  Sharing one force set across all 8
+    scenarios (an earlier revision here) over-constrains the problem: 6*8
+    equality rows against one set of forces is infeasible for any
+    accelerating trajectory, which is exactly what the protocol's waypoint
+    plans need.  Force decisions grow 8x (dims.f picks this up when the
+    problem is rebuilt from the stacked model).
     """
     params = np.asarray(model.params)
     n_obj, n_c = params.shape[0], model.num_contacts
@@ -94,12 +102,18 @@ def stack_vertex_scenarios_in_model(model, com_half_extents):
 
     S1 = np.asarray(model.S1)
     S2 = np.asarray(model.S2)
-    # each scenario copy uses the same contacts
-    new_S1 = np.tile(S1, (8, 1))
-    new_S2 = np.tile(S2, (8, 1))
+    # block-diagonal incidence: scenario i's objects see scenario i's
+    # contact copies only
+    new_S1 = np.kron(np.eye(8), S1)
+    new_S2 = np.kron(np.eye(8), S2)
 
     return model.replace(
         params=jnp.asarray(new_params),
+        mu=jnp.tile(np.asarray(model.mu), 8),
+        normal=jnp.tile(np.asarray(model.normal), (8, 1)),
+        span=jnp.tile(np.asarray(model.span), (8, 1, 1)),
+        r1=jnp.tile(np.asarray(model.r1), (8, 1)),
+        r2=jnp.tile(np.asarray(model.r2), (8, 1)),
         S1=jnp.asarray(new_S1),
         S2=jnp.asarray(new_S2),
     )

@@ -130,6 +130,9 @@ def verify_plan(face_form_A, ee_states, gravity, param_set: ParameterSet):
 
 def count_failures(displacements, threshold=FAILURE_DISPLACEMENT):
     """A run fails if any object moved more than `threshold` meters in the
-    tray frame (process_sim_runs.py:23)."""
-    d = np.asarray(displacements)
-    return int(np.sum(np.max(np.atleast_2d(d), axis=-1) > threshold))
+    tray frame (process_sim_runs.py:23).  A non-finite displacement (the
+    plant diverged — e.g. a parameter combination outside the integrator's
+    stability envelope) is unconditionally a failure, never a silent skip."""
+    d = np.atleast_2d(np.asarray(displacements))
+    worst = np.max(d, axis=-1)
+    return int(np.sum((worst > threshold) | ~np.isfinite(worst)))

@@ -83,11 +83,13 @@ def build_device_loop(
     # shift 0 and stay exactly feasible
     shift = float(round(dt_ctrl / problem.dt))
 
-    def tick(carry: LoopCarry, _):
+    def tick(carry: LoopCarry, _, target=None):
         q, v = carry.sim.q, carry.sim.v
         x = jnp.concatenate([q, v, carry.a_state])
 
-        params = problem.stage_params(carry.t, problem.target)
+        params = problem.stage_params(
+            carry.t, problem.target if target is None else target
+        )
         warm = problem.heal_warm_start(
             problem.shift_warm_start(carry.solver, shift), x
         )
@@ -117,11 +119,18 @@ def build_device_loop(
             metrics,
         )
 
-    def run(carry: LoopCarry, n_replans: int):
-        return jax.lax.scan(tick, carry, None, length=n_replans)
+    def run(carry: LoopCarry, n_replans: int, target=None):
+        """target: optional TargetTrajectory override (a vmappable pytree —
+        batch it to run e.g. the three ral23 waypoints of one experiment
+        group as a single vmapped closed loop, scripts/ral23_sweep.py)."""
+        body = tick if target is None else (
+            lambda c, x: tick(c, x, target=target)
+        )
+        return jax.lax.scan(body, carry, None, length=n_replans)
 
     def init_carry(t0=0.0, sim_state: Optional[SimState] = None,
-                   solver_state: Optional[SolverState] = None) -> LoopCarry:
+                   solver_state: Optional[SolverState] = None,
+                   target=None) -> LoopCarry:
         """Carry from a warm-started solver state (run an initial
         ControllerManager.warmstart() or al.solve first)."""
         if sim_state is None:
@@ -133,8 +142,9 @@ def build_device_loop(
                 [sim_state.q, sim_state.v, jnp.zeros(nq)]
             )
             warm_cfg = dataclasses.replace(cfg, iterations=12)
+            tgt = problem.target if target is None else target
             solver_state = solve(
-                ocp, warm_cfg, problem.stage_params(t0, problem.target), x0,
+                ocp, warm_cfg, problem.stage_params(t0, tgt), x0,
                 zeros_warm_start(ocp, x0),
             ).state
         return LoopCarry(
