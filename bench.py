@@ -241,8 +241,13 @@ def main():
             )
             from upright_tpu.solver.pallas_riccati import pallas_backward_pass
 
-            pal = jax.jit(lambda *a: pallas_backward_pass(*a, block=8))
-            pallas_ms = measure(pal, ab_in, "pallas_backward", reps=10, quiet=True)
+            # Mosaic supports DEFAULT/HIGHEST but not HIGH; pin the kernel
+            # to full-f32 (its elementwise Cholesky dominates anyway)
+            with jax.default_matmul_precision("highest"):
+                pal = jax.jit(lambda *a: pallas_backward_pass(*a, block=8))
+                pallas_ms = measure(
+                    pal, ab_in, "pallas_backward", reps=10, quiet=True
+                )
         except Exception as e:  # a compile failure is a result, not a crash
             pallas_ms = f"failed: {type(e).__name__}: {str(e)[:120]}"
 
@@ -256,6 +261,11 @@ def main():
                 "extra": {
                     "batch": BATCH,
                     "device": str(jax.devices()[0].platform),
+                    # full-f32 MXU passes by default (see upright_tpu/__init__);
+                    # bf16 silently breaks weakly-conditioned backward passes
+                    "matmul_precision": str(
+                        jax.config.jax_default_matmul_precision
+                    ),
                     "single_solve_p99_ms": round(p99_ms, 3),
                     "single_replan_device_ms": round(device_ms, 3),
                     "single_replan_device_p99_ms": round(device_p99_ms, 3),
