@@ -92,3 +92,34 @@ def test_obj_err_comp_time_join(run_log, tmp_path):
         sys.argv = argv
     assert csv_out.exists()
     assert "run_1" in csv_out.read_text()
+
+
+def test_arrangement_geometry():
+    """arch-offsets must reproduce the arrangements.yaml box_arch layout and
+    wedge-dims the objects.yaml wedge entry (the tool is how those numbers
+    were derived in the reference)."""
+    from arrangement_geometry import arch_offsets, wedge_dims
+
+    x1, x2, x3 = arch_offsets([0.103, 0.09, 0.038])
+    # configs/arrangements.yaml box_arch offsets: 0.019, 0.084, -0.0325
+    assert abs(x1 - 0.019) < 1e-12
+    assert abs(x2 - 0.084) < 1e-12
+    assert abs(x3 - (-0.0325)) < 1e-12
+    # configs/objects.yaml wedge side_lengths z entry
+    dims = wedge_dims(15.0, 0.15, 0.15)
+    assert abs(dims[2] - 0.0401923788646684) < 1e-12
+
+
+def test_model_info(capsys):
+    from arrangement_geometry import model_info
+
+    import upright_tpu.config as cfg_mod
+
+    path = cfg_mod.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    prob = model_info(path)
+    out = capsys.readouterr().out
+    assert "actuated joints (6)" in out
+    assert "forces=4" in out
+    assert prob.dims.num_contacts == 4
