@@ -44,3 +44,26 @@ def test_video_recorder(tmp_path):
             captured += 1
     assert captured == 5
     assert len(list((tmp_path / "video").glob("*.png"))) == 5
+
+
+def test_video_encode_gif(tmp_path):
+    sim = make_sim()
+    state = sim.initial_state()
+    rec = VideoRecorder(SceneRenderer(sim), tmp_path / "video", timestep=0.1)
+    for i in range(4):
+        rec.maybe_capture(state, i * 0.1)
+    out = rec.save()
+    assert out.exists() and out.suffix == ".gif" and out.stat().st_size > 5_000
+
+
+def test_solid_rendering_has_occluded_faces(tmp_path):
+    """The renderer draws shaded solids (Poly3DCollections), not just
+    wireframe lines."""
+    sim = make_sim()
+    state = sim.initial_state()
+    fig = SceneRenderer(sim).render(state, t=0.0)
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    polys = [c for c in fig.axes[0].collections if isinstance(c, Poly3DCollection)]
+    # tray + the bottle at least
+    assert len(polys) >= 2

@@ -62,6 +62,49 @@ class SceneRenderer:
         self.camera = camera or Camera(target=np.array([0.0, 0.5, 1.0]), distance=2.5)
         self.figsize = figsize
 
+    # light direction for the Lambert face shading (world frame, normalized)
+    LIGHT = np.array([0.4, -0.3, 0.85]) / np.linalg.norm([0.4, -0.3, 0.85])
+
+    def _solid(self, ax, verts_world, base_color, alpha=1.0):
+        """Draw a convex solid with occluded, Lambert-shaded faces.
+
+        Faces come from the convex hull of the world-frame vertices;
+        Poly3DCollection's painter-style z-sorting provides the occlusion
+        (the fidelity upgrade over the round-2 wireframes; reference uses
+        PyBullet's rasterizer, camera.py:61-99)."""
+        from matplotlib.colors import to_rgb
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+        from scipy.spatial import ConvexHull
+
+        hull = ConvexHull(verts_world)
+        tris = verts_world[hull.simplices]  # (n_f, 3, 3)
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        lam = 0.45 + 0.55 * np.abs(n @ self.LIGHT)
+        rgb = np.asarray(to_rgb(base_color))
+        colors = np.clip(lam[:, None] * rgb[None, :], 0, 1)
+        ax.add_collection3d(
+            Poly3DCollection(
+                tris, facecolors=colors, edgecolors="none", alpha=alpha,
+                zsort="average",
+            )
+        )
+
+    @staticmethod
+    def _sphere_verts(center, radius, n=12):
+        u = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        v = np.linspace(0.0, np.pi, n // 2 + 1)[1:-1]
+        pts = [np.array([0, 0, radius]), np.array([0, 0, -radius])]
+        for vi in v:
+            for ui in u:
+                pts.append(
+                    radius
+                    * np.array(
+                        [np.sin(vi) * np.cos(ui), np.sin(vi) * np.sin(ui), np.cos(vi)]
+                    )
+                )
+        return np.asarray(center) + np.asarray(pts)
+
     def render(self, state, path=None, obstacles=None, t=None):
         import matplotlib
 
@@ -71,31 +114,45 @@ class SceneRenderer:
         fig = plt.figure(figsize=self.figsize)
         ax = fig.add_subplot(projection="3d")
 
-        # robot chain polyline
+        # robot chain: polyline + joint spheres (URDF visual meshes were
+        # deliberately dissolved; the chain itself is the visual)
         import jax.numpy as jnp
 
         P = np.asarray(self.sim.robot.link_positions(jnp.asarray(state.q)))
-        ax.plot(P[:, 0], P[:, 1], P[:, 2], "o-", color="tab:blue", lw=3, ms=4)
+        ax.plot(P[:, 0], P[:, 1], P[:, 2], "-", color="tab:blue", lw=4)
+        ax.scatter(P[:, 0], P[:, 1], P[:, 2], color="tab:blue", s=30)
 
-        # tray patch
+        # tray as a thin solid box
         R_we, r_ew = self.sim.ee_pose(state)
         half = 0.5 * 0.285
-        corners_local = np.array(
-            [[half, half, 0], [-half, half, 0], [-half, -half, 0], [half, -half, 0], [half, half, 0]]
+        box = np.array(
+            [
+                [sx * half, sy * half, z]
+                for sx in (-1, 1)
+                for sy in (-1, 1)
+                for z in (-0.02, 0.0)
+            ]
         )
-        corners = r_ew + corners_local @ R_we.T
-        ax.plot(corners[:, 0], corners[:, 1], corners[:, 2], color="saddlebrown", lw=2)
+        self._solid(ax, r_ew + box @ R_we.T, "saddlebrown")
 
-        # objects as vertical line + marker at CoM
+        # balanced objects: true contact polyhedra, solid + shaded
         if self.sim.n_obj:
-            r_obj, _q = self.sim.object_poses(state)
-            ax.scatter(r_obj[:, 0], r_obj[:, 1], r_obj[:, 2], color="crimson", s=60)
+            from upright_tpu.core.math import quat_to_rot
 
-        # obstacles
+            r_obj, q_obj = self.sim.object_poses(state)
+            for i, spec in enumerate(self.sim.specs):
+                R_o = np.asarray(quat_to_rot(jnp.asarray(q_obj[i])))
+                V = np.asarray(spec.vertices_local)
+                self._solid(ax, r_obj[i] + V @ R_o.T, "crimson", alpha=0.95)
+
+        # obstacles as shaded spheres
         if obstacles:
             for obs in obstacles:
                 r = obs.position(t or float(state.t))
-                ax.scatter([r[0]], [r[1]], [r[2]], color="black", s=200, alpha=0.6)
+                radius = float(getattr(obs, "radius", 0.1) or 0.1)
+                self._solid(
+                    ax, self._sphere_verts(r, radius), "dimgray", alpha=0.9
+                )
 
         elev, azim = self.camera.view_angles()
         ax.view_init(elev=elev, azim=azim)
@@ -117,9 +174,10 @@ class SceneRenderer:
 
 
 class VideoRecorder:
-    """Frame-dump video recorder (reference camera.py VideoRecorder):
-    saves numbered PNG frames at a fixed timestep; assemble with ffmpeg or
-    view as a sequence."""
+    """Video recorder (reference camera.py VideoRecorder): saves numbered
+    PNG frames at a fixed timestep and encodes them into an animated GIF
+    with ``save()`` (Pillow; this environment ships no ffmpeg — the PNG
+    sequence also remains on disk for external encoders)."""
 
     def __init__(self, renderer: SceneRenderer, directory, timestep=0.04):
         self.renderer = renderer
@@ -137,3 +195,19 @@ class VideoRecorder:
             self._count += 1
             return path
         return None
+
+    def save(self, path=None, fps=None):
+        """Encode the captured frames into an animated GIF."""
+        from PIL import Image
+
+        frames = sorted(self.directory.glob("frame_*.png"))
+        if not frames:
+            raise ValueError(f"no frames captured in {self.directory}")
+        path = Path(path) if path else self.directory / "video.gif"
+        fps = fps or 1.0 / self.timestep
+        imgs = [Image.open(f).convert("P") for f in frames]
+        imgs[0].save(
+            path, save_all=True, append_images=imgs[1:],
+            duration=int(1000 / fps), loop=0,
+        )
+        return path
