@@ -320,6 +320,124 @@ def z_bounds():
     return np.tile(u_lo, N), np.tile(u_hi, N)
 
 
+# ---------------------------------------------------------------------------
+# frictional variant: 3-D contact forces + linearized Coulomb cones
+# (reference contact_constraints.h:49-77; the ral23 "full" controller runs
+# with frictionless: false).  u = [jerk(6), f_1..f_4 (3 each)], forces are
+# the contact force ON THE TRAY (first body of the pair) in the EE frame.
+# ---------------------------------------------------------------------------
+
+NU_F = NQ + 3 * NC  # 18
+MU_CONTACT = 0.5
+
+
+def newton_euler_residual_frictional(x, u):
+    q, v, a = x[:6], x[6:12], x[12:18]
+    forces = u[6:].reshape(NC, 3)
+    C, r, rd, Cd, rdd, Cdd = ee_motion(q, v, a)
+
+    f_die_e = -forces.sum(dim=0)  # reaction on the die, EE frame
+    newton = DIE_MASS * (rdd + Cdd @ DIE_COM_T - G_T) - C @ f_die_e
+
+    Sw = Cd @ C.T
+    w = vee(Sw)
+    Sal = Cdd @ C.T + Cd @ Cd.T
+    al = vee(Sal)
+    I_w = C @ DIE_I_T @ C.T
+    tau = torch.zeros(3)
+    for i in range(NC):
+        arm = C @ (CONTACTS_T[i] - DIE_COM_T)
+        tau = tau + torch.linalg.cross(arm, C @ (-forces[i]))
+    euler = I_w @ al + torch.linalg.cross(w, I_w @ w) - tau
+    return torch.cat([newton, euler]) / DIE_MASS
+
+
+def cone_rows_frictional(u, mu=MU_CONTACT):
+    """Linearized friction cone, 5 rows per contact: f_n >= 0 and
+    mu f_n +- f_x +- f_y >= 0 with f_n = n . f, n = [0, 0, -1].  Any
+    orthonormal tangent basis yields the same row SET (the four sign
+    combinations); the rows here use the (x, y) axes."""
+    forces = u[6:].reshape(NC, 3)
+    rows = []
+    for i in range(NC):
+        f = forces[i]
+        f_n = NORMAL_T @ f
+        rows.append(
+            torch.stack(
+                [
+                    f_n,
+                    mu * f_n - f[0] - f[1],
+                    mu * f_n - f[0] + f[1],
+                    mu * f_n + f[0] - f[1],
+                    mu * f_n + f[0] + f[1],
+                ]
+            )
+        )
+    return torch.cat(rows)
+
+
+def rollout_frictional(Uflat):
+    U = Uflat.reshape(N, NU_F)
+    xs = [X0]
+    for k in range(N):
+        xs.append(dyn_step(xs[-1], U[k]))
+    return torch.stack(xs), U
+
+
+def stage_cost_frictional(x, u):
+    dx = x - XD
+    W_u = torch.tensor(
+        np.diag([0.001] * 6 + [0.001] * (3 * NC))
+    )
+    c = 0.5 * dx @ W_STATE_T @ dx + 0.5 * u @ W_u @ u
+    _, r, *_ = ee_motion(x[:6], x[6:12], x[12:18])
+    e = r - RD
+    return c + 0.5 * e @ e
+
+
+def objective_frictional_t(Uflat):
+    X, U = rollout_frictional(Uflat)
+    cost = torch.zeros(())
+    for k in range(N):
+        cost = cost + stage_cost_frictional(X[k], U[k])
+    return cost
+
+
+def eq_vec_frictional_t(Uflat):
+    X, U = rollout_frictional(Uflat)
+    rows = []
+    for k in range(N):
+        rows.append(newton_euler_residual_frictional(X[k], U[k]))
+    _, r, *_ = ee_motion(X[N][:6], X[N][6:12], X[N][12:18])
+    rows.append(r - RD)
+    rows.append(X[N][6:18])
+    return torch.cat(rows)
+
+
+def ineq_vec_frictional_t(Uflat):
+    """State boxes + the per-stage friction-cone rows."""
+    X, U = rollout_frictional(Uflat)
+    rows = []
+    qlim = torch.tensor(Q_LIM)
+    vlim = torch.tensor(V_LIM)
+    alim = torch.tensor(A_LIM)
+    for k in range(N):
+        xr = X[k]
+        rows += [
+            cone_rows_frictional(U[k]),
+            xr[:6] + qlim, qlim - xr[:6],
+            xr[6:12] + vlim, vlim - xr[6:12],
+            xr[12:18] + alim, alim - xr[12:18],
+        ]
+    return torch.cat(rows)
+
+
+def z_bounds_frictional():
+    u_lo = np.concatenate([-JERK_LIM * np.ones(6), -F_MAX * np.ones(3 * NC)])
+    u_hi = np.concatenate([JERK_LIM * np.ones(6), F_MAX * np.ones(3 * NC)])
+    return np.tile(u_lo, N), np.tile(u_hi, N)
+
+
 def np_fun(f, **kw):
     def fun(z):
         return f(torch.tensor(z), **kw).detach().numpy()

@@ -202,6 +202,140 @@ def test_stage_cost_orientation_convention():
 
 
 # ---------------------------------------------------------------------------
+# frictional variant (the ral23 "full" controller path: frictionless false)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def prob_frictional():
+    path = cfg_mod.resolve_package_path(
+        {"package": "configs", "path": "demos/ur10_demo.yaml"}
+    )
+    config = oracle.ocp_config_patch(cfg_mod.load_config(path))
+    config["controller"]["balancing"]["frictionless"] = False
+    p = build_problem(config)
+    assert p.dims.u == oracle.NU_F
+    return p
+
+
+def rand_xu_frictional(rng):
+    x, _ = rand_xu(rng)
+    f = np.tile([0.5, -0.3, -oracle.DIE_MASS * 9.81 / 4], 4)
+    u = np.concatenate(
+        [2.0 * rng.standard_normal(6), f + 0.5 * rng.standard_normal(12)]
+    )
+    return x, u
+
+
+def test_newton_euler_frictional_pointwise(prob_frictional):
+    rng = np.random.default_rng(6)
+    params = prob_frictional.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    for _ in range(6):
+        x, u = rand_xu_frictional(rng)
+        ours = np.asarray(
+            prob_frictional.ocp.eq(jnp.asarray(x), jnp.asarray(u), p0)
+        )
+        r_t = (
+            oracle.newton_euler_residual_frictional(
+                torch.tensor(x), torch.tensor(u)
+            )
+            .detach()
+            .numpy()
+        )
+        C = oracle.ee_motion(
+            torch.tensor(x[:6]), torch.tensor(x[6:12]), torch.tensor(x[12:18])
+        )[0].detach().numpy()
+        rot = C.T
+        expected = (
+            np.concatenate([rot @ r_t[:3], rot @ r_t[3:]]) / np.sqrt(6.0)
+        )
+        np.testing.assert_allclose(ours, expected, atol=1e-8)
+
+
+def test_cone_rows_pointwise(prob_frictional):
+    """Our linearized cone rows equal the independent formulation as a SET
+    per contact (the +- sign rows are basis-order invariant)."""
+    rng = np.random.default_rng(7)
+    params = prob_frictional.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    for _ in range(6):
+        x, u = rand_xu_frictional(rng)
+        h = np.asarray(
+            prob_frictional.ocp.ineq(jnp.asarray(x), jnp.asarray(u), p0)
+        )
+        ours = h[: 5 * 4].reshape(4, 5)
+        ref = (
+            oracle.cone_rows_frictional(torch.tensor(u)).detach().numpy()
+        ).reshape(4, 5)
+        np.testing.assert_allclose(ours[:, 0], ref[:, 0], atol=1e-12)
+        np.testing.assert_allclose(
+            np.sort(ours[:, 1:], axis=1), np.sort(ref[:, 1:], axis=1),
+            atol=1e-12,
+        )
+
+
+def test_stage_cost_frictional_pointwise(prob_frictional):
+    rng = np.random.default_rng(8)
+    params = prob_frictional.stage_params(0.0)
+    p0 = {k: v[0] for k, v in params["stage"].items()}
+    for _ in range(6):
+        x, u = rand_xu_frictional(rng)
+        ours = float(
+            prob_frictional.ocp.stage_cost(jnp.asarray(x), jnp.asarray(u), p0)
+        )
+        ref = float(
+            oracle.stage_cost_frictional(torch.tensor(x), torch.tensor(u))
+        )
+        assert abs(ours - ref) < 1e-9 * max(1.0, abs(ref))
+
+
+@pytest.mark.slow
+def test_kkt_certificate_frictional(prob_frictional):
+    """Our frictional solution is a constrained stationary point of the
+    independent frictional transcription (cones included)."""
+    sol = _solve_ours(prob_frictional)
+    z = np.asarray(sol.state.U).reshape(-1)
+
+    eq_f, eq_j = oracle.np_fun(oracle.eq_vec_frictional_t)
+    iq_f, iq_j = oracle.np_fun(oracle.ineq_vec_frictional_t)
+    obj_f, obj_j = oracle.np_fun(oracle.objective_frictional_t)
+    c_eq = eq_f(z)
+    h = iq_f(z)
+    assert np.abs(c_eq).max() < 2e-4, np.abs(c_eq).max()
+    assert h.min() > -1e-6, h.min()
+
+    g = obj_j(z)
+    Jeq = eq_j(z)
+    lo, hi = oracle.z_bounds_frictional()
+    act_iq = h < 1e-5
+    act_lo = z - lo < 1e-7
+    act_hi = hi - z < 1e-7
+    cols = [Jeq.T]
+    n_eq = Jeq.shape[0]
+    if act_iq.any():
+        cols.append(-iq_j(z)[act_iq].T)
+    B = []
+    for i in np.where(act_lo)[0]:
+        e = np.zeros_like(z)
+        e[i] = -1.0
+        B.append(e)
+    for i in np.where(act_hi)[0]:
+        e = np.zeros_like(z)
+        e[i] = 1.0
+        B.append(e)
+    if B:
+        cols.append(-np.stack(B, axis=1))
+    A = np.concatenate(cols, axis=1)
+    m, *_ = np.linalg.lstsq(A, -g, rcond=None)
+    rel = np.linalg.norm(g + A @ m) / max(np.linalg.norm(g), 1e-12)
+    assert rel < 1e-2, rel
+    mu = m[n_eq:]
+    if mu.size:
+        assert mu.min() > -1e-3 * max(1.0, np.abs(m).max()), mu.min()
+
+
+# ---------------------------------------------------------------------------
 # full-OCP certificate
 # ---------------------------------------------------------------------------
 
