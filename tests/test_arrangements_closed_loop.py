@@ -164,3 +164,31 @@ def test_closed_loop_sudden_obstacle():
 
     obs = run_closed_loop.last_obstacles[0]
     assert np.linalg.norm(obs.position(4.0) - np.array([1.25, 1.5, 0.25])) < 0.05
+
+
+@pytest.mark.slow
+def test_unreachable_target_with_error_clamp():
+    """ral23 arm_only regime: the shared point waypoints sit ~2 m outside
+    the fixed UR10's workspace.  With ee_error_clamp the arm stretches to
+    its envelope and the bottle STAYS (measured 0.005 m); without the clamp
+    the unsatisfiable terminal equality winds its multipliers to lam_max
+    and the unbounded pull throws the payload (measured ~87 m)."""
+    from mpc_sim import run_closed_loop
+
+    config = cfg.load_config(
+        cfg.resolve_package_path(
+            {"package": "configs",
+             "path": "ral23/freespace/full_bottle_arm_only.yaml"}
+        )
+    )
+    assert config["controller"]["ee_error_clamp"] == 0.5
+    sim, state, ctrl, logger = run_closed_loop(
+        config, duration=5.0, ctrl_rate=100.0
+    )
+    disp = float(sim.object_displacements(state)[0])
+    assert disp < 0.02, disp
+    # the arm actually moved toward the target (not frozen by the clamp)
+    _, r_ew = sim.ee_pose(state)
+    d0 = np.asarray(logger.as_arrays()["r_ew_w"][0])
+    target_r = np.asarray(ctrl.problem.target.poses[0, :3])
+    assert np.linalg.norm(r_ew - target_r) < np.linalg.norm(d0 - target_r) - 0.5

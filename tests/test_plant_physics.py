@@ -266,3 +266,91 @@ def test_static_equilibrium_holds():
     # vertical settle is bounded by the static penalty compression
     dz = float(s1.objects.r[0, 2] - s0.objects.r[0, 2])
     assert -2e-3 < dz <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# stiction friction model (friction_model: stiction)
+# ---------------------------------------------------------------------------
+
+
+def make_sim_stiction(mu, side_lengths, mass=0.2, timestep=1e-3):
+    sim = make_sim(mu, side_lengths, mass=mass, timestep=timestep)
+    sim.config["friction_model"] = "stiction"
+    import upright_tpu.sim.simulation as sim_mod
+
+    sim2 = sim_mod.UprightSimulation(dict(sim.config, friction_model="stiction"))
+    return sim2
+
+
+def initial_state_for(sim, R):
+    s = initial_objects_state(sim, R)
+    # stiction mode carries contact anchors in the objects state
+    full = sim.initial_state()
+    return s.replace(
+        objects=s.objects.replace(
+            anchors=full.objects.anchors, anchor_valid=full.objects.anchor_valid
+        )
+    )
+
+
+def test_stiction_holds_near_cone_boundary():
+    """tan(theta) = 0.95 mu: TRUE static friction must hold with microscopic
+    displacement.  The regularized model can only transmit force near the
+    cone boundary through sustained slip (v ~ v_slip * F/(muN - F)), so it
+    drifts — the gap that motivated the stiction model (a controller
+    planning AT the cone boundary needs a plant that can stick there)."""
+    theta = np.arctan(0.95 * MU)
+    R = rot_x(theta)
+
+    sim_st = make_sim_stiction(MU, [0.06, 0.06, 0.06])
+    prescribe_static_frame(sim_st, R)
+    s0 = initial_state_for(sim_st, R)
+    s1 = run(sim_st, s0, 1.0)
+    disp_st = np.linalg.norm(tangential_displacement(s0, s1, R))
+    assert disp_st < 5e-4, disp_st
+
+    sim_reg = make_sim(MU, [0.06, 0.06, 0.06])
+    prescribe_static_frame(sim_reg, R)
+    s0r = initial_objects_state(sim_reg, R)
+    s1r = run(sim_reg, s0r, 1.0)
+    disp_reg = np.linalg.norm(tangential_displacement(s0r, s1r, R))
+    # the regularized model visibly creeps at sustained near-boundary load
+    assert disp_reg > 5 * disp_st, (disp_reg, disp_st)
+
+
+def test_stiction_slides_above_friction_angle():
+    """Kinetic regime unchanged: above the friction angle the clamped
+    anchor spring delivers exactly mu N, so the block accelerates at
+    g (sin t - mu cos t) like the regularized model."""
+    theta = np.arctan(2.0 * MU)
+    T = 0.2
+    sim = make_sim_stiction(MU, [0.06, 0.06, 0.06])
+    R = rot_x(theta)
+    prescribe_static_frame(sim, R)
+    s0 = initial_state_for(sim, R)
+    s1 = run(sim, s0, T)
+    disp = np.linalg.norm(tangential_displacement(s0, s1, R))
+    a_expect = 9.81 * (np.sin(theta) - MU * np.cos(theta))
+    d_expect = 0.5 * a_expect * T * T
+    assert abs(disp - d_expect) < 0.35 * d_expect, (disp, d_expect)
+
+
+def test_stiction_energy_dissipates():
+    sim = make_sim_stiction(0.5, [0.06, 0.06, 0.06])
+    prescribe_static_frame(sim, np.eye(3))
+    s0 = initial_state_for(sim, np.eye(3))
+    h0 = 0.02
+    s0 = s0.replace(
+        objects=s0.objects.replace(r=s0.objects.r + jnp.array([[0.0, 0, h0]]))
+    )
+    m = float(sim.specs[0].mass)
+    z_start = float(s0.objects.r[0, 2])
+    s = s0
+    for _ in range(20):
+        s = run(sim, s, 0.025)
+        e = (
+            m * 9.81 * (float(s.objects.r[0, 2]) - z_start)
+            + 0.5 * m * float(jnp.sum(s.objects.v[0] ** 2))
+        )
+        assert e < 1e-4 * m * 9.81 * h0
+    assert float(jnp.linalg.norm(s.objects.v[0])) < 5e-3

@@ -28,17 +28,18 @@ def test_matrix_shape():
     # full: 12 static_obstacles + 12 freespace points + 3 freespace arm_only
     # + simulations full_with_fixture (the bare simulations/full.yaml does
     # not match the prefix)
-    assert sum(n.startswith("full_") for n in names) == 28
+    # (+3 static_obstacles arm_only added in round 3)
+    assert sum(n.startswith("full_") for n in names) == 31
     # robust: 12 static_obstacles + 12 freespace points + 3 arm_only + 4
     # aligned_failure + simulations {with_fixture, with_stack, with_tall,
     # with_tall_multi}
     assert (
-        sum(n.startswith("robust_") and "wedge" not in n for n in names) == 35
+        sum(n.startswith("robust_") and "wedge" not in n for n in names) == 38
     )
     # aligned: 9 static_obstacles + 12 freespace + 4 aligned_failure +
     # simulations aligned_with_tall
     assert sum(n.startswith("aligned_") for n in names) == 26
-    assert sum(n.endswith("_arm_only.yaml") for n in names) == 6
+    assert sum(n.endswith("_arm_only.yaml") for n in names) == 12
     assert sum("box_bottle" in n for n in names) == 8
     assert sum(n.startswith("sudden_") for n in names) == 5
     assert sum(n.startswith("projectile_") for n in names) == 2
@@ -48,7 +49,7 @@ def test_matrix_shape():
     assert sum(n.startswith("none_") for n in names) == 13
     assert sum(n.startswith("upward_") for n in names) == 13
     assert sum(n.startswith("high_mu_") for n in names) == 3
-    assert len(LEAVES) >= 132
+    assert len(LEAVES) >= 138
 
 
 @pytest.mark.parametrize("path", LEAVES)

@@ -445,6 +445,24 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
             a_total = a_total + dC_dtt(ee.C_we, ee.w_ew_w, ee.alpha_ew_w) @ ia_com
         return ee.C_we.T @ a_total
 
+    # EE-error clamp (controller.ee_error_clamp, meters; 0 = off): bounds
+    # the tracking pull when the target is unreachable.  The AL analogue of
+    # the reference's HPIPM slack penalties (its base config enables
+    # slacks: state_box + poly_ineq): with an unsatisfiable terminal
+    # position equality the PHR multipliers wind up to lam_max and the
+    # bounded-only-by-lam_max pull destabilizes the closed loop (observed:
+    # a fixed-base UR10 given the ral23 point1 waypoint 2.2 m outside its
+    # workspace throws the payload).  Clamping the error magnitude keeps
+    # the gradient direction with a bounded norm — identical behavior
+    # whenever the error is below the radius.
+    ee_clamp = float(ctrl.get("ee_error_clamp", 0.0))
+
+    def _clamped(e_pos):
+        if ee_clamp <= 0.0:
+            return e_pos
+        nrm = jnp.linalg.norm(e_pos)
+        return e_pos * jnp.minimum(1.0, ee_clamp / jnp.maximum(nrm, 1e-9))
+
     def stage_residuals(x, u, p):
         """Nonlinear GN residuals: EE pose error (+ inertial alignment)."""
         rd, qd, _s = interp_target(p)
@@ -454,7 +472,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
 
         q_act = rot_to_quat(ee.C_we)
         e = jnp.concatenate(
-            [ee.r_ew_w - rd, orientation_error(q_act, qd)]
+            [_clamped(ee.r_ew_w - rd), orientation_error(q_act, qd)]
         )
         W = W_ee
         if ia_cost_enabled:
@@ -670,12 +688,15 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     # -- terminal constraints -------------------------------------------
     def final_eq(x, p):
         # EE at the desired position, zero velocity/acceleration
-        # (stationary_desired_position_constraint.h:11-84)
+        # (stationary_desired_position_constraint.h:11-84).  The position
+        # rows share the ee_error_clamp: an unreachable target otherwise
+        # makes these rows unsatisfiable and their AL multipliers wind up
+        # to lam_max (see _clamped above).
         rd, _qd, _s = interp_target(p)
         r_ee = ee_state_of(x).r_ew_w
         v = x[nq : 2 * nq]
         a = x[2 * nq : 3 * nq]
-        return jnp.concatenate([r_ee - rd, v, a])
+        return jnp.concatenate([_clamped(r_ee - rd), v, a])
 
     n_feq = 3 + 2 * nq
 

@@ -36,12 +36,20 @@ from upright_tpu.kinematics.robot import RobotModel, build_robot_model
 
 @flax.struct.dataclass
 class ObjectsState:
-    """Stacked free rigid-body states of the balanced objects."""
+    """Stacked free rigid-body states of the balanced objects.
+
+    ``anchors``/``anchor_valid`` exist only under ``friction_model:
+    stiction``: per object, the tangent-frame anchor coordinates of each
+    (surface, vertex) contact spring — tuples of (n_surf_i, k_i, 2) /
+    (n_surf_i, k_i) arrays (tuple because surface counts differ per
+    object).  None under the regularized model."""
 
     r: jnp.ndarray  # (n_obj, 3) CoM positions, world
     q: jnp.ndarray  # (n_obj, 4) orientations (xyzw), world
     v: jnp.ndarray  # (n_obj, 3) CoM linear velocities
     w: jnp.ndarray  # (n_obj, 3) angular velocities, world
+    anchors: object = None
+    anchor_valid: object = None
 
 
 @flax.struct.dataclass
@@ -141,6 +149,17 @@ class UprightSimulation:
         # at ~v_slip * F_t/(mu f_n - F_t)); the stability caps below keep the
         # stiffer friction well-behaved
         self.v_slip = float(sim_config.get("friction_regularization", 2e-4))
+        # friction_model: "regularized" (viscous Coulomb, default) or
+        # "stiction" (anchor/bristle springs: true static friction — the
+        # regularized model can only transmit force near the cone boundary
+        # through sustained slip, so a controller that plans AT the cone
+        # boundary drifts; PyBullet's LCP contacts, the reference plant,
+        # have real stiction)
+        self.friction_model = str(
+            sim_config.get("friction_model", "regularized")
+        ).lower()
+        if self.friction_model not in ("regularized", "stiction"):
+            raise ValueError(f"unknown friction_model {self.friction_model!r}")
         self.max_contact_force = float(sim_config.get("max_contact_force", 500.0))
         # internal substeps for the object dynamics: explicit integration of
         # the penalty contacts needs dt_obj * omega well below 1 for the
@@ -195,10 +214,21 @@ class UprightSimulation:
             q_w = quat_multiply(q_we, jnp.asarray(spec.q_init))
             rs.append(r_w)
             qs.append(q_w)
+        anchors = anchor_valid = None
+        if self.friction_model == "stiction" and self.n_obj:
+            anchors = tuple(
+                jnp.zeros((len(sp.surfaces), len(sp.vertices_local), 2))
+                for sp in self.specs
+            )
+            anchor_valid = tuple(
+                jnp.zeros((len(sp.surfaces), len(sp.vertices_local)), bool)
+                for sp in self.specs
+            )
         if self.n_obj:
             objects = ObjectsState(
                 r=jnp.stack(rs), q=jnp.stack(qs),
                 v=jnp.zeros((self.n_obj, 3)), w=jnp.zeros((self.n_obj, 3)),
+                anchors=anchors, anchor_valid=anchor_valid,
             )
         else:
             objects = ObjectsState(
@@ -284,6 +314,8 @@ class UprightSimulation:
 
         forces = []
         torques = []
+        new_anchors = []
+        new_valid = []
         # reaction accumulators for object-on-object contacts (Newton's third
         # law: the supporting object feels the opposite contact force)
         reaction_f = [jnp.zeros(3) for _ in range(self.n_obj)]
@@ -311,7 +343,9 @@ class UprightSimulation:
                 0.3 * m_eff / dt,
             )
 
-            for surf in spec.surfaces:
+            anch_i = []
+            valid_i = []
+            for si, surf in enumerate(spec.surfaces):
                 if surf.parent == -1:
                     R_p, r_p = ee.R, ee.p
                     v_p, w_p = ee.v, ee.w
@@ -353,15 +387,53 @@ class UprightSimulation:
                 f_n_mag = jnp.minimum(f_n_mag, self.max_contact_force)
                 f_n_mag = jnp.where(in_contact, f_n_mag, 0.0)
 
-                # regularized Coulomb friction with a stability cap: the
-                # regularization acts as a viscous damper with gain
-                # mu f_n / (|v_t| + eps); for light objects that exceeds
-                # the explicit-integration limit, so clamp the gain
-                v_t_norm = jnp.linalg.norm(v_t, axis=1) + self.v_slip
-                gain = params["mu"][i] * f_n_mag / v_t_norm
-                gain = jnp.minimum(gain, 0.3 * m_eff / dt)
+                if self.friction_model == "stiction":
+                    # anchor/bristle static friction: a tangential spring
+                    # from the anchor point (surface tangent coords frozen
+                    # at stick onset) + damping, with the TOTAL clamped to
+                    # the cone mu*f_n; on clamp the anchor is dragged so the
+                    # spring alone sits on the cone (stick/slip semantics —
+                    # sustained force near the boundary without drift,
+                    # matching PyBullet's LCP contacts).  Spring/damping
+                    # gains share the explicit-integration stability caps.
+                    anchor = s.objects.anchors[i][si]  # (k, 2)
+                    valid = s.objects.anchor_valid[i][si]  # (k,)
+                    anchor_eff = jnp.where(
+                        (valid & in_contact)[:, None], anchor, t_coords
+                    )
+                    d_t = t_coords - anchor_eff  # (k, 2) surface frame
+                    F_spring = -(d_t @ T_w) * k_i  # (k, 3) world
+                    F_t = F_spring - c_i * v_t
+                    F_mag = jnp.linalg.norm(F_t, axis=1)
+                    F_max = params["mu"][i] * f_n_mag
+                    scale = jnp.minimum(1.0, F_max / jnp.maximum(F_mag, 1e-12))
+                    F_t = F_t * scale[:, None]
+                    f_c = f_n_mag[:, None] * n_w + jnp.where(
+                        in_contact[:, None], F_t, 0.0
+                    )
+                    # anchor drag: keep the spring displacement inside the
+                    # cone so released contacts do not fling
+                    d_norm = jnp.linalg.norm(d_t, axis=1)
+                    d_max = F_max / k_i
+                    d_new = d_t * jnp.minimum(
+                        1.0, d_max / jnp.maximum(d_norm, 1e-12)
+                    )[:, None]
+                    anch_i.append(
+                        jnp.where(
+                            in_contact[:, None], t_coords - d_new, t_coords
+                        )
+                    )
+                    valid_i.append(in_contact)
+                else:
+                    # regularized Coulomb friction with a stability cap: the
+                    # regularization acts as a viscous damper with gain
+                    # mu f_n / (|v_t| + eps); for light objects that exceeds
+                    # the explicit-integration limit, so clamp the gain
+                    v_t_norm = jnp.linalg.norm(v_t, axis=1) + self.v_slip
+                    gain = params["mu"][i] * f_n_mag / v_t_norm
+                    gain = jnp.minimum(gain, 0.3 * m_eff / dt)
 
-                f_c = f_n_mag[:, None] * n_w - gain[:, None] * v_t  # (k, 3)
+                    f_c = f_n_mag[:, None] * n_w - gain[:, None] * v_t  # (k, 3)
                 f_tot = f_tot + f_c.sum(axis=0)
                 tau_tot = tau_tot + jnp.cross(p_w - r[i], f_c).sum(axis=0)
                 if surf.parent >= 0:
@@ -373,6 +445,9 @@ class UprightSimulation:
 
             forces.append(f_tot)
             torques.append(tau_tot)
+            if self.friction_model == "stiction":
+                new_anchors.append(jnp.stack(anch_i))
+                new_valid.append(jnp.stack(valid_i))
 
         for j in range(self.n_obj):
             forces[j] = forces[j] + reaction_f[j]
@@ -397,6 +472,11 @@ class UprightSimulation:
         q_new = jnp.stack(
             [quat_integrate(q[i], w_new[i], dt) for i in range(self.n_obj)]
         )
+        if self.friction_model == "stiction":
+            return ObjectsState(
+                r=r_new, q=q_new, v=v_new, w=w_new,
+                anchors=tuple(new_anchors), anchor_valid=tuple(new_valid),
+            )
         return ObjectsState(r=r_new, q=q_new, v=v_new, w=w_new)
 
     # -- observation -----------------------------------------------------

@@ -541,24 +541,37 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         )(X[:-1], U, p_stage, lam, mu)
         gf, Hf = _final_derivatives(ocp, cfg, X[-1], p_final, lam_f)
 
-        # Riccati (backward pass implementation selected by cfg.backward)
-        if cfg.backward == "pscan":
-            from upright_tpu.solver.pscan import parallel_backward_pass
+        # Riccati (backward pass implementation selected by cfg.backward).
+        # Pinned to >= "high" matmul precision regardless of the ambient
+        # setting: the recursion is the precision-critical phase — bf16
+        # inputs to the Q-update products degrade weakly-conditioned Quu
+        # (e.g. the ral23 ablations' ~1e-3 I) until the line search rejects
+        # every step (docs/performance.md "Matmul precision").
+        with jax.default_matmul_precision("high"):
+            if cfg.backward == "pscan":
+                from upright_tpu.solver.pscan import parallel_backward_pass
 
-            K, kff = parallel_backward_pass(
-                A, B, d, grads, hess, gf, Hf, reg=cfg.reg
-            )
-        elif cfg.backward == "pallas":
-            from upright_tpu.solver.pallas_riccati import pallas_backward_pass
+                K, kff = parallel_backward_pass(
+                    A, B, d, grads, hess, gf, Hf, reg=cfg.reg
+                )
+            elif cfg.backward == "pallas":
+                from upright_tpu.solver.pallas_riccati import (
+                    pallas_backward_pass,
+                )
 
-            K, kff = pallas_backward_pass(
-                A[None], B[None], d[None], grads[None], hess[None],
-                gf[None], Hf[None], reg=cfg.reg, block=cfg.pallas_block,
-                interpret=cfg.pallas_interpret,
-            )
-            K, kff = K[0], kff[0]
-        else:
-            K, kff = _backward_pass(ocp, cfg, A, B, d, grads, hess, gf, Hf)
+                # Mosaic supports DEFAULT/HIGHEST but not HIGH
+                with jax.default_matmul_precision("highest"):
+                    K, kff = pallas_backward_pass(
+                        A[None], B[None], d[None], grads[None], hess[None],
+                        gf[None], Hf[None], reg=cfg.reg,
+                        block=cfg.pallas_block,
+                        interpret=cfg.pallas_interpret,
+                    )
+                K, kff = K[0], kff[0]
+            else:
+                K, kff = _backward_pass(
+                    ocp, cfg, A, B, d, grads, hess, gf, Hf
+                )
 
         # line search over fixed candidates (vmapped rollouts)
         alphas = jnp.asarray(cfg.line_search_steps)
