@@ -32,8 +32,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# persistent compiled-executable cache (same as bench.py): regeneration
+# and resumed sweeps skip the multi-minute per-group compiles
+_cache = os.environ.get("BENCH_CACHE_DIR", ".jax_cache")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import upright_tpu.config as cfg
 from upright_tpu.ocp.problem import build_problem
@@ -61,8 +70,10 @@ def discover_groups(family_dir: Path):
     return dict(groups)
 
 
-def run_group(name, paths, ctrl_rate=100.0):
+def run_group(name, paths, ctrl_rate=100.0, friction_model=None):
     config = cfg.load_config(paths[0])
+    if friction_model:
+        config["simulation"]["friction_model"] = friction_model
     prob = build_problem(config)
     sim = UprightSimulation(config["simulation"])
     solver_conf = config["controller"].get("solver", {})
@@ -154,6 +165,9 @@ def main():
     ap.add_argument("--families", default="static_obstacles,freespace")
     ap.add_argument("--groups", default=None,
                     help="comma-separated group-name filter (debugging)")
+    ap.add_argument("--friction-model", default=None,
+                    choices=["regularized", "stiction"],
+                    help="override the plant friction model for every leaf")
     ap.add_argument("--ctrl-rate", type=float, default=100.0)
     ap.add_argument(
         "--out",
@@ -172,7 +186,12 @@ def main():
         for name, paths in sorted(discover_groups(root / family).items()):
             if wanted and name not in wanted:
                 continue
-            fam_rows.extend(run_group(name, paths, ctrl_rate=args.ctrl_rate))
+            fam_rows.extend(
+                run_group(
+                    name, paths, ctrl_rate=args.ctrl_rate,
+                    friction_model=args.friction_model,
+                )
+            )
         results[family] = fam_rows
 
     with open(args.out, "w") as f:

@@ -203,7 +203,19 @@ def test_scenario_generation():
 
     stacked = stack_vertex_scenarios_in_model(model, [[0.01, 0.01, 0.02]])
     assert stacked.params.shape == (8, 10)
-    assert stacked.S1.shape == (8, model.num_contacts)
+    # each scenario owns a COPY of the contact set (reference
+    # planning_sim_loop.py:513-534 builds 8 objects with their own
+    # contacts): block-diagonal incidence, 8x contact count
+    nc = model.num_contacts
+    assert stacked.S1.shape == (8, 8 * nc)
+    assert stacked.num_contacts == 8 * nc
+    S1 = np.asarray(stacked.S1)
+    for i in range(8):
+        assert np.allclose(
+            S1[i, i * nc : (i + 1) * nc], np.asarray(model.S1)[0]
+        )
+        # off-block entries are zero
+        assert S1[i].sum() == np.asarray(model.S1)[0].sum()
 
 
 def test_count_failures():
