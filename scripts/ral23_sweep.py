@@ -76,12 +76,19 @@ def run_group(name, paths, ctrl_rate=100.0, friction_model=None):
         config["simulation"]["friction_model"] = friction_model
     prob = build_problem(config)
     sim = UprightSimulation(config["simulation"])
-    solver_conf = config["controller"].get("solver", {})
+    # mirror ControllerManager's ALConfig exactly (solver/mpc.py:77-84) —
+    # in particular dual_reset_violation, which bounds multiplier windup on
+    # infeasible runs (the unreachable arm_only waypoints blow up without it)
+    from upright_tpu.solver.mpc import MPCSettings
+
+    settings = MPCSettings.from_config(config["controller"])
     sqp_conf = config["controller"].get("sqp", {})
     al_cfg = ALConfig(
-        iterations=int(sqp_conf.get("sqp_iteration", 1)),
-        rho_eq=float(solver_conf.get("rho_eq", 10.0)),
-        rho_ineq=float(solver_conf.get("rho_ineq", 10.0)),
+        iterations=settings.iterations,
+        rho_eq=settings.rho_eq,
+        rho_ineq=settings.rho_ineq,
+        lam_max=settings.lam_max,
+        dual_reset_violation=settings.dual_reset_violation,
     )
     init_carry, run = build_device_loop(
         prob, sim, al_cfg=al_cfg, ctrl_rate=ctrl_rate,
