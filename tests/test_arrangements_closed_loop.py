@@ -118,7 +118,10 @@ def test_freespace_ablation_differential(leaf, min_disp):
     )
     from mpc_sim import run_closed_loop
 
-    sim, state, ctrl, _ = run_closed_loop(config, duration=4.0, ctrl_rate=50.0)
+    # the 0.02 kg dice need the production 100 Hz replan cadence (the
+    # reference's min_policy_update_time): at the test-economy 50 Hz the
+    # balancing controllers lose the top die to inter-replan drift
+    sim, state, ctrl, _ = run_closed_loop(config, duration=4.0, ctrl_rate=100.0)
     disp = sim.object_displacements(state)
     if min_disp is None:
         assert (disp < 0.03).all(), f"balancing controller slid objects: {disp}"
