@@ -582,10 +582,17 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
                 lam, mu, lam_f, unroll=cfg.scan_unroll,
             )
 
-        merits, Xs, Us, terms_a = jax.vmap(try_alpha)(alphas)
-        merit0, terms0 = _merit_terms(
-            ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f
-        )
+        # Pinned >= "high" like the backward pass: these evaluations are
+        # what the dual update integrates and what eq/ineq_viol report —
+        # bf16 here leaves ~1e-1 noise on O(10) constraint rows (measured
+        # on aligned_bottle: ineq_viol 0.107 vs 4e-4), while the stage
+        # Jacobian tolerates bf16 (GN direction noise the line search
+        # absorbs).  See docs/performance.md "Matmul precision".
+        with jax.default_matmul_precision("high"):
+            merits, Xs, Us, terms_a = jax.vmap(try_alpha)(alphas)
+            merit0, terms0 = _merit_terms(
+                ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f
+            )
         merits = jnp.where(jnp.isnan(merits), jnp.inf, merits)
         best = jnp.argmin(merits)
 
