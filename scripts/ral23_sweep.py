@@ -76,20 +76,15 @@ def run_group(name, paths, ctrl_rate=100.0, friction_model=None):
         config["simulation"]["friction_model"] = friction_model
     prob = build_problem(config)
     sim = UprightSimulation(config["simulation"])
-    # mirror ControllerManager's ALConfig exactly (solver/mpc.py:77-84) —
-    # in particular dual_reset_violation, which bounds multiplier windup on
-    # infeasible runs (the unreachable arm_only waypoints blow up without it)
+    # ControllerManager's exact replan ALConfig via the single source of
+    # truth (MPCSettings.al_config) — in particular dual_reset_violation,
+    # which bounds multiplier windup on infeasible runs (the unreachable
+    # arm_only waypoints blow up without it)
     from upright_tpu.solver.mpc import MPCSettings
 
     settings = MPCSettings.from_config(config["controller"])
     sqp_conf = config["controller"].get("sqp", {})
-    al_cfg = ALConfig(
-        iterations=settings.iterations,
-        rho_eq=settings.rho_eq,
-        rho_ineq=settings.rho_ineq,
-        lam_max=settings.lam_max,
-        dual_reset_violation=settings.dual_reset_violation,
-    )
+    al_cfg = settings.al_config()
     init_carry, run = build_device_loop(
         prob, sim, al_cfg=al_cfg, ctrl_rate=ctrl_rate,
         use_feedback_policy=bool(sqp_conf.get("use_feedback_policy", True)),

@@ -61,10 +61,16 @@ def main():
         from upright_tpu.robust.planning import ral25_protocol
 
         com_boxes = [args.com_box] if args.com_box else None
+        # leaf configs may pin the planner's CoM model (the ral25 real
+        # box{1,2,3} matrix: controller.robust.com_variant)
+        com_variant = (
+            config["controller"].get("robust", {}).get("com_variant", "robust")
+        )
         out = ral25_protocol(
             config, com_half_extents=com_boxes,
             duration=args.duration, iterations=args.iterations,
             kp=args.kp, use_parallel_scan=args.parallel_scan,
+            com_variant=com_variant,
         )
         print(json.dumps(out, indent=2))
         return

@@ -80,9 +80,13 @@ CONTACTS = np.array(
 )
 NORMAL = np.array([0.0, 0.0, -1.0])  # into the first body of the pair (tray)
 
-# weights (configs/robots/ur10.yaml / configs/controller.yaml)
+# weights (configs/robots/ur10.yaml / configs/controller.yaml).  The force
+# regularizer acts on the MASS-SCALED forces f / m — the problem spec's
+# force_weight semantics (upright_tpu/ocp/problem.py force_scale) — so per
+# physical newton^2 the weight is force_weight / m^2.
+F_SCALE = DIE_MASS
 W_STATE = 0.01 * np.diag([0.0] * 6 + [10.0] * 6 + [1.0] * 6)
-W_INPUT = np.diag([0.001] * 6 + [0.001] * NC)  # jerk + force_weight
+W_INPUT = np.diag([0.001] * 6 + [0.001 / F_SCALE**2] * NC)  # jerk + force_weight
 W_EE_POS = np.eye(3)
 
 JERK_LIM = 80.0
@@ -387,7 +391,7 @@ def rollout_frictional(Uflat):
 def stage_cost_frictional(x, u):
     dx = x - XD
     W_u = torch.tensor(
-        np.diag([0.001] * 6 + [0.001] * (3 * NC))
+        np.diag([0.001] * 6 + [0.001 / F_SCALE**2] * (3 * NC))
     )
     c = 0.5 * dx @ W_STATE_T @ dx + 0.5 * u @ W_u @ u
     _, r, *_ = ee_motion(x[:6], x[6:12], x[12:18])

@@ -50,7 +50,9 @@ def test_single_solve(ur10_config):
     assert float(sol.eq_viol) < 0.1
     # contact forces should be holding up the bottle: total normal force of
     # the first stage approximately equals the weight (0.827 kg)
-    forces = np.asarray(sol.state.U[0, prob.dims.robot_u :])
+    forces = np.asarray(sol.state.U[0, prob.dims.robot_u :]) * np.asarray(
+        prob.force_scale
+    )
     total = forces.sum()
     assert 0.5 * 0.827 * 9.81 < total < 2.0 * 0.827 * 9.81
 

@@ -58,8 +58,11 @@ def test_frictional_solve_converges_and_cones_bind(friction_config):
     # some cone within 1e-3 of its boundary somewhere over the horizon
     assert cones.min() < 1e-3
     # normal forces hold up the box (mass 0.5 kg): the f_n >= 0 rows
-    # (every 5th cone row) carry the weight at stage 0
-    f_n = cones[0, 0::5]
+    # (every 5th cone row) carry the weight at stage 0.  Cone rows are
+    # evaluated on the scaled force variables (problem.py force_scale), so
+    # convert back to newtons per contact.
+    fscale_c = np.asarray(mgr.problem.force_scale)[::3]
+    f_n = cones[0, 0::5] * fscale_c
     total = f_n.sum()
     assert 0.5 * 0.5 * 9.81 < total < 2.0 * 0.5 * 9.81
 

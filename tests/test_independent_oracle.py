@@ -51,6 +51,26 @@ def prob():
     return p
 
 
+def to_scaled_u(p, u):
+    """Map a PHYSICAL input vector (the oracle's parameterization, forces in
+    newtons) to the solver's dimensionless force variables
+    (problem.py force_scale)."""
+    u = np.asarray(u, dtype=float).copy()
+    nq = p.dims.robot_u
+    u[nq:] = u[nq:] / np.asarray(p.force_scale)
+    return u
+
+
+def to_physical_U(p, U):
+    """Map the solver's (N, nu) input trajectory back to physical newtons
+    so the independent transcription (which knows nothing of the scaling)
+    can evaluate it."""
+    U = np.asarray(U, dtype=float).copy()
+    nq = p.dims.robot_u
+    U[:, nq:] = U[:, nq:] * np.asarray(p.force_scale)[None, :]
+    return U
+
+
 def rand_xu(rng, scale_q=0.3, scale_v=0.5, scale_a=1.0, scale_f=3.0):
     x = np.concatenate(
         [
@@ -137,7 +157,9 @@ def test_newton_euler_pointwise(prob):
     p0 = {k: v[0] for k, v in params["stage"].items()}
     for _ in range(8):
         x, u = rand_xu(rng)
-        ours = np.asarray(prob.ocp.eq(jnp.asarray(x), jnp.asarray(u), p0))
+        ours = np.asarray(
+            prob.ocp.eq(jnp.asarray(x), jnp.asarray(to_scaled_u(prob, u)), p0)
+        )
         r_t = (
             oracle.newton_euler_residual(torch.tensor(x), torch.tensor(u))
             .detach()
@@ -168,7 +190,11 @@ def test_stage_cost_pointwise(prob):
     p0 = {k: v[0] for k, v in params["stage"].items()}
     for _ in range(8):
         x, u = rand_xu(rng)
-        ours = float(prob.ocp.stage_cost(jnp.asarray(x), jnp.asarray(u), p0))
+        ours = float(
+            prob.ocp.stage_cost(
+                jnp.asarray(x), jnp.asarray(to_scaled_u(prob, u)), p0
+            )
+        )
         ref = float(oracle.stage_cost(torch.tensor(x), torch.tensor(u)))
         assert abs(ours - ref) < 1e-9 * max(1.0, abs(ref))
 
@@ -194,7 +220,9 @@ def test_stage_cost_orientation_convention():
     rng = np.random.default_rng(5)
     for _ in range(8):
         x, u = rand_xu(rng, scale_q=0.8)
-        ours = float(p.ocp.stage_cost(jnp.asarray(x), jnp.asarray(u), p0))
+        ours = float(
+            p.ocp.stage_cost(jnp.asarray(x), jnp.asarray(to_scaled_u(p, u)), p0)
+        )
         ref = float(
             oracle.stage_cost(torch.tensor(x), torch.tensor(u), w_orn=1.0, qd=qd)
         )
@@ -234,7 +262,10 @@ def test_newton_euler_frictional_pointwise(prob_frictional):
     for _ in range(6):
         x, u = rand_xu_frictional(rng)
         ours = np.asarray(
-            prob_frictional.ocp.eq(jnp.asarray(x), jnp.asarray(u), p0)
+            prob_frictional.ocp.eq(
+                jnp.asarray(x),
+                jnp.asarray(to_scaled_u(prob_frictional, u)), p0,
+            )
         )
         r_t = (
             oracle.newton_euler_residual_frictional(
@@ -262,9 +293,15 @@ def test_cone_rows_pointwise(prob_frictional):
     for _ in range(6):
         x, u = rand_xu_frictional(rng)
         h = np.asarray(
-            prob_frictional.ocp.ineq(jnp.asarray(x), jnp.asarray(u), p0)
+            prob_frictional.ocp.ineq(
+                jnp.asarray(x),
+                jnp.asarray(to_scaled_u(prob_frictional, u)), p0,
+            )
         )
-        ours = h[: 5 * 4].reshape(4, 5)
+        # our rows are the physical cone divided by the per-contact force
+        # scale (positively homogeneous) — undo it for the comparison
+        fscale_c = np.asarray(prob_frictional.force_scale)[::3]
+        ours = h[: 5 * 4].reshape(4, 5) * fscale_c[:, None]
         ref = (
             oracle.cone_rows_frictional(torch.tensor(u)).detach().numpy()
         ).reshape(4, 5)
@@ -282,7 +319,10 @@ def test_stage_cost_frictional_pointwise(prob_frictional):
     for _ in range(6):
         x, u = rand_xu_frictional(rng)
         ours = float(
-            prob_frictional.ocp.stage_cost(jnp.asarray(x), jnp.asarray(u), p0)
+            prob_frictional.ocp.stage_cost(
+                jnp.asarray(x),
+                jnp.asarray(to_scaled_u(prob_frictional, u)), p0,
+            )
         )
         ref = float(
             oracle.stage_cost_frictional(torch.tensor(x), torch.tensor(u))
@@ -295,7 +335,7 @@ def test_kkt_certificate_frictional(prob_frictional):
     """Our frictional solution is a constrained stationary point of the
     independent frictional transcription (cones included)."""
     sol = _solve_ours(prob_frictional)
-    z = np.asarray(sol.state.U).reshape(-1)
+    z = to_physical_U(prob_frictional, sol.state.U).reshape(-1)
 
     eq_f, eq_j = oracle.np_fun(oracle.eq_vec_frictional_t)
     iq_f, iq_j = oracle.np_fun(oracle.ineq_vec_frictional_t)
@@ -354,7 +394,7 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "data", "oracle_slsqp_ur10.npz"
 @pytest.mark.slow
 def test_kkt_certificate_and_golden_dominance(prob):
     sol = _solve_ours(prob)
-    U_ours = np.asarray(sol.state.U)
+    U_ours = to_physical_U(prob, sol.state.U)
     z = U_ours.reshape(-1)
 
     # --- independent feasibility of our solution -------------------------

@@ -86,7 +86,14 @@ def _parse_box(type_conf, position=None, rotation=None):
 
 
 def _parse_inertia(mass, type_conf):
-    """Uniform-density inertia for the shape (parsing.py:286-302)."""
+    """Uniform-density inertia for the shape (parsing.py:286-302), or an
+    explicit measured matrix when the type declares ``inertia:`` (the
+    reference's box2_exact, upright_robust/config/controller.yaml)."""
+    if "inertia" in type_conf:
+        I = np.asarray(type_conf["inertia"], dtype=float)
+        if I.shape != (3, 3):
+            raise ValueError(f"explicit inertia must be 3x3, got {I.shape}")
+        return I
     shape = type_conf["shape"].lower()
     if shape == "cylinder":
         return core_math.cylinder_inertia_matrix(mass, type_conf["radius"], type_conf["height"])

@@ -24,6 +24,7 @@ import dataclasses
 
 import numpy as np
 
+import upright_tpu.config as cfg_mod
 from upright_tpu.core.balance import EEState
 from upright_tpu.kinematics.chain import (
     FIXED,
@@ -172,6 +173,8 @@ def build_robot_model(robot_conf) -> RobotModel:
     chain = KinematicChain(joints)
     locked = robot_conf.get("locked_joints", {})
     if locked:
+        # values may use the config literal grammar ("0.5pi", parsing.py:63-91)
+        locked = {k: cfg_mod.parse_number(v) for k, v in locked.items()}
         chain = chain.lock_joints(locked)
 
     return RobotModel(

@@ -91,6 +91,11 @@ class UprightProblem:
     # start's state trajectory is re-rolled from the measured x0 instead of
     # kept (post-brake re-engage); config key controller.mpc.heal_jump_threshold
     heal_jump_threshold: float = 0.2
+    # per-force-variable scale (dims.f,): physical newtons = force_scale *
+    # the solver's dimensionless force variables (see build_problem)
+    force_scale: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
 
     def evaluate_constraints(self, x, u, t=0.0, target=None):
         """Diagnostic evaluation of all constraint groups at one (x, u, t),
@@ -141,7 +146,8 @@ class UprightProblem:
             "orn_err": orn_err,
             "ddC_we_norm": jnp.linalg.norm(ddC),
             "cost": self.ocp.stage_cost(x, u, p0),
-            "contact_forces": u[self.dims.robot_u :],
+            "contact_forces": u[self.dims.robot_u :]
+            * jnp.asarray(self.force_scale),
         }
 
     def shift_warm_start(self, state, shift):
@@ -356,13 +362,48 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     x0_robot = jnp.asarray(cfg_mod.parse_array(robot_conf["x0"]))
     xd_robot = x0_robot
 
-    # input weight over [jerk, forces]
+    gravity = jnp.asarray(cfg_mod.parse_array(config.get("gravity", [0, 0, -9.81])))
+
+    # -- contact-force variable scaling (conditioning) --------------------
+    # The NE residuals are mass-normalized (balance.py:212-213), so their
+    # Jacobian w.r.t. PHYSICAL forces is ~1/m: 50x steeper for a 0.02 kg
+    # foam die than a 1 kg bottle.  That skew ill-scales the AL penalty
+    # Hessian rho*J'J against the O(1) cost curvature (HPIPM solves each QP
+    # exactly and never sees it; the penalty method does — the r3 dice
+    # failures).  Solve in MASS-SCALED force variables instead:
+    #     f_physical = fscale_c * u_f,   fscale_c = m_ref(c),
+    # with m_ref the lightest dynamic object the contact touches.  The
+    # mass-normalized eq rows then see force Jacobians of m_ref/m ~ 1 —
+    # the same order as their acceleration columns — for EVERY object
+    # mass, so one solver configuration covers the whole arrangement tree
+    # (no per-leaf rho tuning).  Scaled forces sit at ~|g|/n_contacts at
+    # equilibrium.
+    if dims.f > 0:
+        masses_np = np.asarray(model.params[:, 0])
+        incident = (np.asarray(model.S1) + np.asarray(model.S2)) > 0.5
+        m_ref = np.where(incident, masses_np[:, None], np.inf).min(axis=0)
+        m_fill = float(masses_np.mean()) if masses_np.size else 1.0
+        m_ref = np.where(np.isfinite(m_ref), m_ref, m_fill)
+        force_scale = np.repeat(m_ref, nf)  # (dims.f,)
+    else:
+        force_scale = np.zeros(0)
+    fscale_j = jnp.asarray(force_scale)
+
+    # input weight over [jerk, forces].  force_weight acts on the
+    # DIMENSIONLESS force variables (i.e. physical weight
+    # force_weight/(m_ref|g|)^2 per contact), NOT on raw newtons as in the
+    # reference (controller_interface.cpp:400-420).  This is deliberate:
+    # the regularizer's job is to pick the interior point of the grasp
+    # map's null space, and it must sit a bounded factor below the
+    # constraint curvature in the SAME variables for the f32 Riccati
+    # recursion to stay stable — weighting physical newtons made the
+    # force-block conditioning mass-dependent (2.5e7 for 0.02 kg dice),
+    # which blew up K through null-space noise amplification.  HPIPM never
+    # sees this because it solves each QP exactly in f64.
     W_u = jnp.zeros((dims.u, dims.u))
     W_u = W_u.at[:nq, :nq].set(W_input)
     if dims.f > 0:
         W_u = W_u.at[nq:, nq:].set(force_weight * jnp.eye(dims.f))
-
-    gravity = jnp.asarray(cfg_mod.parse_array(config.get("gravity", [0, 0, -9.81])))
 
     # -- limits (reference wrappers.py; BoundConstraint in
     #    controller_interface.cpp:157-169, 333-357) ----------------------
@@ -372,10 +413,12 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     u_lb_robot = cfg_mod.parse_array(limits["input"]["lower"]) if "input" in limits else None
     u_ub_robot = cfg_mod.parse_array(limits["input"]["upper"]) if "input" in limits else None
 
-    FORCE_BOUND = 1e2  # reference controller_interface.cpp:337-357
+    FORCE_BOUND = 1e2  # newtons, reference controller_interface.cpp:337-357
     if dims.f > 0:
-        f_lb = np.zeros(dims.f) if frictionless else -FORCE_BOUND * np.ones(dims.f)
-        f_ub = FORCE_BOUND * np.ones(dims.f)
+        # bounds live on the scaled variables: +-FORCE_BOUND physical
+        f_bound = FORCE_BOUND / force_scale
+        f_lb = np.zeros(dims.f) if frictionless else -f_bound
+        f_ub = f_bound.copy()
     else:
         f_lb = np.zeros(0)
         f_ub = np.zeros(0)
@@ -511,7 +554,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
             if rows:
                 return jnp.concatenate(rows)
             return jnp.zeros((0,))
-        forces_flat = u[nq:]
+        forces_flat = u[nq:] * fscale_j  # scaled variables -> physical newtons
         scen = model.replace(params=p["obj_params"])
         if frictionless:
             forces = bal.expand_frictionless_forces(scen, forces_flat)
@@ -594,6 +637,10 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         # f >= 0 input bounds)
         if nc > 0 and not frictionless:
             scen = model.replace(params=p["obj_params"])
+            # evaluated on the SCALED force variables: the cone rows are
+            # positively homogeneous, so this is the physical cone divided
+            # by fscale_c — same feasible set, O(1) rows for every object
+            # mass (uniform AL penalty weighting)
             forces = u[nq:].reshape(nc, 3)
             return bal.contact_force_constraints_linearized(scen, forces)
         return jnp.zeros((0,))
@@ -820,6 +867,7 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
         heal_jump_threshold=float(
             ctrl.get("mpc", {}).get("heal_jump_threshold", 0.2)
         ),
+        force_scale=force_scale,
     )
 
 

@@ -200,11 +200,76 @@ def make_param_sweep(sim, com_offsets=None, mass_scales=None, inertia_scales=Non
     return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
 
 
+def verify_offline_plan(prob, plan, com_half_extents,
+                        inertia_scales=(1.0,), realizable=False,
+                        max_states=50):
+    """Post-hoc worst-case CWC verification of one offline plan — the
+    reference's process_sim_runs.py:87-270 step: for each planned state,
+    maximize each contact-wrench-cone face violation over the inertial
+    ambiguity set (CoM box x inertia scales; exact vertex form), optionally
+    also over the density-REALIZABLE set (moment relaxation,
+    robust/realizable.py).
+
+    Returns {"worst_case_cwc_violation", "violation_steps", "n_states",
+    ["worst_case_cwc_violation_realizable"]}.  Positive violation = some
+    feasible parameters break balance at that planned state.
+    """
+    import upright_tpu.config as cfg_mod
+    from upright_tpu.robust import modelling as rm
+    from upright_tpu.robust import verification as rv
+
+    conf_parse = dict(prob.config["controller"])
+    model, names, objects, contacts = cfg_mod.parse_control_objects(conf_parse)
+    rcps = [rm.RobustContactPoint(c) for c in contacts]
+    A = rm.compute_cwc_face_form(rm.compute_object_name_index(names), rcps)
+    obj = objects[names[0]]
+    pset = rv.ParameterSet.from_com_box(
+        obj.mass, obj.com, obj.inertia, np.asarray(com_half_extents[0]),
+        inertia_scales=tuple(inertia_scales),
+    )
+    stride = max(1, len(plan.X) // max_states)
+    states = []
+    for x in plan.X[::stride]:
+        ee = prob.robot.ee_state(jnp.asarray(x[: prob.dims.robot_x]))
+        states.append(
+            (np.asarray(ee.C_we), np.asarray(ee.w_ew_w),
+             np.asarray(ee.alpha_ew_w), np.asarray(ee.a_ew_w))
+        )
+    g = np.asarray(prob.gravity)
+    viol = rv.verify_plan(A, states, g, pset)
+    out = {
+        "worst_case_cwc_violation": float(viol.max()),
+        "violation_steps": int((viol > 0.0).sum()),
+        "n_states": int(len(states)),
+    }
+    if realizable:
+        from upright_tpu.robust.realizable import (
+            RealizableSet,
+            verify_plan_realizable,
+        )
+
+        com_half = np.asarray(com_half_extents[0], dtype=float)
+        box = obj.box
+        half = np.abs(box.vertices - box.position).max(axis=0)
+        rset = RealizableSet(
+            lower=box.position - half,
+            upper=box.position + half,
+            com_lower=np.asarray(obj.com) - com_half - 1e-4,
+            com_upper=np.asarray(obj.com) + com_half + 1e-4,
+            mass=obj.mass,
+        )
+        Ys = [rv.inertial_regressor(*s, g) for s in states]
+        viol_r = verify_plan_realizable(A, Ys, rset)
+        out["worst_case_cwc_violation_realizable"] = float(viol_r.max())
+    return out
+
+
 def ral25_protocol(config, com_half_extents=None, waypoints=None,
                    inertia_scales=(1.0, 0.5, 0.1), iterations=60,
                    duration=None, kp=10.0, approx_bounds=False,
                    use_parallel_scan=False, failure_threshold=0.5,
-                   com_variant="robust"):
+                   com_variant="robust", verify=False,
+                   verify_realizable=False):
     """The reference robust experiment, end-to-end (planning_sim_loop.py
     :548-655 + process_sim_runs.py): for each waypoint, solve ONE offline
     plan, then track it under the full 15-CoM x len(inertia_scales) grid of
@@ -288,6 +353,9 @@ def ral25_protocol(config, com_half_extents=None, waypoints=None,
         wp_config["controller"]["waypoints"] = [
             {"time": 0, "position": list(np.asarray(wp)), "orientation": [0, 0, 0, 1]}
         ]
+        # pristine copy for verification: the ambiguity set is centered at
+        # the NOMINAL CoM even when the planner pins it to a box extreme
+        verify_config = _copy.deepcopy(wp_config)
         if com_variant in ("top", "bottom"):
             # nominal planning with the CoM pinned at a box extreme
             # (reference planning_sim_loop.py:495-501)
@@ -315,18 +383,30 @@ def ral25_protocol(config, com_half_extents=None, waypoints=None,
 
         worst = disp.max(axis=1)
         finite = worst[np.isfinite(worst)]
-        results.append(
-            {
-                "waypoint": list(np.asarray(wp, dtype=float)),
-                "runs": int(disp.shape[0]),
-                "failures": count_failures(disp, failure_threshold),
-                "n_diverged": int((~np.isfinite(worst)).sum()),
-                "max_displacement_m": (
-                    float(finite.max()) if finite.size else float("nan")
-                ),
-                "plan_eq_violation": float(sol.eq_viol),
-            }
-        )
+        entry = {
+            "waypoint": list(np.asarray(wp, dtype=float)),
+            "runs": int(disp.shape[0]),
+            "failures": count_failures(disp, failure_threshold),
+            "n_diverged": int((~np.isfinite(worst)).sum()),
+            "max_displacement_m": (
+                float(finite.max()) if finite.size else float("nan")
+            ),
+            "plan_eq_violation": float(sol.eq_viol),
+        }
+        if verify:
+            # post-hoc worst-case certification of the PLAN over the full
+            # ambiguity set (the nominal problem's CWC, independent of the
+            # planner's own CoM model — a nominal plan is judged against
+            # the same uncertainty the robust plan covers)
+            nominal_prob = build_problem(
+                verify_config, N=int(round(plan.ts[-1] / plan.dt))
+            )
+            entry["verification"] = verify_offline_plan(
+                nominal_prob, plan, com_half_extents,
+                inertia_scales=inertia_scales,
+                realizable=verify_realizable,
+            )
+        results.append(entry)
     total = {
         "protocol": "ral25",
         "com_variant": com_variant,

@@ -161,6 +161,13 @@ class UprightSimulation:
         if self.friction_model not in ("regularized", "stiction"):
             raise ValueError(f"unknown friction_model {self.friction_model!r}")
         self.max_contact_force = float(sim_config.get("max_contact_force", 500.0))
+        # divergence containment: once an object's EE-frame displacement
+        # exceeds this (meters), its state freezes (held pose, zero
+        # velocity) — a dropped object otherwise free-falls for the rest of
+        # the run and study tables report non-physical 100+ m rows.  The
+        # failure semantics are unchanged (displacement stays beyond the
+        # 0.5 m failure threshold, process_sim_runs.py:23); 0 disables.
+        self.divergence_freeze = float(sim_config.get("divergence_freeze", 1.0))
         # internal substeps for the object dynamics: explicit integration of
         # the penalty contacts needs dt_obj * omega well below 1 for the
         # stiffest (lightest-object) coupled mode; auto-derive from the
@@ -472,6 +479,29 @@ class UprightSimulation:
         q_new = jnp.stack(
             [quat_integrate(q[i], w_new[i], dt) for i in range(self.n_obj)]
         )
+
+        if self.divergence_freeze > 0:
+            # dropped-object freeze (see __init__): an object past the
+            # containment displacement, or one whose updated state went
+            # non-finite, holds its pose with zeroed velocity
+            com_nom = jnp.asarray(
+                np.stack([np.asarray(sp.com_world_ee) for sp in self.specs])
+            )
+            r_oe = (r - ee.p) @ ee.R  # rows = R_we.T @ (r_i - r_ew)
+            disp = jnp.linalg.norm(r_oe - com_nom, axis=1)
+            finite = (
+                jnp.isfinite(r_new).all(axis=1)
+                & jnp.isfinite(v_new).all(axis=1)
+                & jnp.isfinite(w_new).all(axis=1)
+                & jnp.isfinite(q_new).all(axis=1)
+            )
+            frozen = (disp > self.divergence_freeze) | ~finite
+            hold = frozen[:, None]
+            r_new = jnp.where(hold, r, r_new)
+            q_new = jnp.where(hold, q, q_new)
+            v_new = jnp.where(hold, jnp.zeros_like(v_new), v_new)
+            w_new = jnp.where(hold, jnp.zeros_like(w_new), w_new)
+
         if self.friction_model == "stiction":
             return ObjectsState(
                 r=r_new, q=q_new, v=v_new, w=w_new,

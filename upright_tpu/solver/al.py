@@ -30,6 +30,22 @@ import jax.numpy as jnp
 from upright_tpu.solver.ocp import OCP, Solution, SolverState
 
 
+def _floor_precision(minimum: str = "high") -> str:
+    """Resolve the precision pin as a FLOOR over the ambient setting.
+
+    ``jax.default_matmul_precision("high")`` sets exactly "high", which
+    would silently DOWNGRADE a user-requested ambient "highest" (the
+    UPRIGHT_TPU_MATMUL_PRECISION override path).  Returns "highest" when
+    the ambient already asks for it, else ``minimum``.
+    """
+    ambient = jax.config.jax_default_matmul_precision
+    if ambient is not None and str(ambient).lower() in (
+        "highest", "float32", "f32",
+    ):
+        return "highest"
+    return minimum
+
+
 @dataclasses.dataclass(frozen=True)
 class ALConfig:
     """Static solver configuration (compiled into the jitted solve)."""
@@ -542,12 +558,13 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         gf, Hf = _final_derivatives(ocp, cfg, X[-1], p_final, lam_f)
 
         # Riccati (backward pass implementation selected by cfg.backward).
-        # Pinned to >= "high" matmul precision regardless of the ambient
-        # setting: the recursion is the precision-critical phase — bf16
-        # inputs to the Q-update products degrade weakly-conditioned Quu
-        # (e.g. the ral23 ablations' ~1e-3 I) until the line search rejects
-        # every step (docs/performance.md "Matmul precision").
-        with jax.default_matmul_precision("high"):
+        # Pinned to >= "high" matmul precision AS A FLOOR over the ambient
+        # setting (an ambient "highest" is honored): the recursion is the
+        # precision-critical phase — bf16 inputs to the Q-update products
+        # degrade weakly-conditioned Quu (e.g. the ral23 ablations' ~1e-3 I)
+        # until the line search rejects every step (docs/performance.md
+        # "Matmul precision").
+        with jax.default_matmul_precision(_floor_precision()):
             if cfg.backward == "pscan":
                 from upright_tpu.solver.pscan import parallel_backward_pass
 
@@ -582,13 +599,14 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
                 lam, mu, lam_f, unroll=cfg.scan_unroll,
             )
 
-        # Pinned >= "high" like the backward pass: these evaluations are
-        # what the dual update integrates and what eq/ineq_viol report —
-        # bf16 here leaves ~1e-1 noise on O(10) constraint rows (measured
-        # on aligned_bottle: ineq_viol 0.107 vs 4e-4), while the stage
-        # Jacobian tolerates bf16 (GN direction noise the line search
-        # absorbs).  See docs/performance.md "Matmul precision".
-        with jax.default_matmul_precision("high"):
+        # Pinned >= "high" (floor, like the backward pass): these
+        # evaluations are what the dual update integrates and what
+        # eq/ineq_viol report — bf16 here leaves ~1e-1 noise on O(10)
+        # constraint rows (measured on aligned_bottle: ineq_viol 0.107 vs
+        # 4e-4), while the stage Jacobian tolerates bf16 (GN direction
+        # noise the line search absorbs).  See docs/performance.md
+        # "Matmul precision".
+        with jax.default_matmul_precision(_floor_precision()):
             merits, Xs, Us, terms_a = jax.vmap(try_alpha)(alphas)
             merit0, terms0 = _merit_terms(
                 ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f

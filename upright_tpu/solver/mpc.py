@@ -65,6 +65,22 @@ class MPCSettings:
             use_feedback_policy=bool(sqp.get("use_feedback_policy", True)),
         )
 
+    def al_config(self) -> ALConfig:
+        """The replan-path ALConfig these settings denote — the SINGLE source
+        of truth for every closed-loop driver (ControllerManager, the ral23
+        sweep's fused device loop).  In particular dual_reset_violation,
+        which bounds multiplier windup on infeasible runs, is set here and
+        only here for the MPC path (the bare ALConfig default of None is for
+        offline/cold solves whose warm start carries no stale duals)."""
+        return ALConfig(
+            iterations=self.iterations,
+            rho_eq=self.rho_eq,
+            rho_ineq=self.rho_ineq,
+            lam_max=self.lam_max,
+            dual_reset_violation=self.dual_reset_violation,
+            line_search_steps=tuple(self.line_search_steps),
+        )
+
 
 class ControllerManager:
     """Owns the problem + jitted solver; mirrors the reference manager API:
@@ -74,14 +90,7 @@ class ControllerManager:
         self.problem = problem
         self.settings = settings or MPCSettings.from_config(problem.config["controller"])
 
-        self._cfg = ALConfig(
-            iterations=self.settings.iterations,
-            rho_eq=self.settings.rho_eq,
-            rho_ineq=self.settings.rho_ineq,
-            lam_max=self.settings.lam_max,
-            dual_reset_violation=self.settings.dual_reset_violation,
-            line_search_steps=tuple(self.settings.line_search_steps),
-        )
+        self._cfg = self.settings.al_config()
         # the initial (cold) solve additionally applies the configured dual
         # safeguarding; the warm-started replan path keeps the plain
         # one-step PHR update (the reference's 1-iteration SQP semantics)
