@@ -133,13 +133,30 @@ def main():
     s1 = jax.tree.map(lambda x: x[0], sol.state)
     one = single(p1, x0s[0], s1)
     jax.block_until_ready(one.state.X)
+    N_SINGLE = int(os.environ.get("BENCH_SINGLE_N", 500))
     lat = []
-    for _ in range(50):
+    for _ in range(N_SINGLE):
         t1 = time.perf_counter()
         one = single(p1, x0s[0], one.state)
         jax.block_until_ready(one.state.X)
         lat.append(time.perf_counter() - t1)
     p99_ms = float(np.percentile(np.asarray(lat), 99) * 1e3)
+
+    # streaming variant: what a real robot pays per replan — a fresh host
+    # observation transferred host->device each solve (mrt_node.cpp 125 Hz
+    # loop semantics), then the policy result read back
+    x_base = np.asarray(one.state.X[0])
+    stream_lat = []
+    rng_s = np.random.default_rng(1)
+    for _ in range(N_SINGLE):
+        x_host = x_base + 1e-3 * rng_s.standard_normal(prob.ocp.nx)
+        t1 = time.perf_counter()
+        xd = jnp.asarray(x_host)  # host -> device
+        one = single(p1, xd, one.state)
+        u0 = np.asarray(one.state.U[0])  # device -> host (the command)
+        stream_lat.append(time.perf_counter() - t1)
+    stream_p99_ms = float(np.percentile(np.asarray(stream_lat), 99) * 1e3)
+    stream_med_ms = float(np.median(np.asarray(stream_lat)) * 1e3)
 
     def replan_loop(M):
         def f(p, x, s):
@@ -183,7 +200,7 @@ def main():
     # number INCLUDES its amortized share of dispatch — no differencing, no
     # caveats.  p99 is over windows.
     M_WIN = int(os.environ.get("BENCH_WIN_M", 50))
-    N_WIN = int(os.environ.get("BENCH_WIN_N", 20))
+    N_WIN = int(os.environ.get("BENCH_WIN_N", 100))
 
     def replan_step(p, x, st):
         warm = prob.heal_warm_start(prob.shift_warm_start(st, 0.0), x)
@@ -267,6 +284,11 @@ def main():
                         jax.config.jax_default_matmul_precision
                     ),
                     "single_solve_p99_ms": round(p99_ms, 3),
+                    "single_solve_samples": N_SINGLE,
+                    # per-replan cost with a fresh host observation in and
+                    # the command out (what a real robot pays per tick)
+                    "stream_replan_ms": round(stream_med_ms, 3),
+                    "stream_replan_p99_ms": round(stream_p99_ms, 3),
                     "single_replan_device_ms": round(device_ms, 3),
                     "single_replan_device_p99_ms": round(device_p99_ms, 3),
                     # headline: full runtime replan path (shift+heal+solve+
@@ -274,6 +296,8 @@ def main():
                     # dispatch included (amortized over the window)
                     "steady_replan_ms": round(steady_ms, 3),
                     "steady_replan_p99_ms": round(steady_p99_ms, 3),
+                    "steady_windows": N_WIN,
+                    "steady_window_replans": M_WIN,
                     "realtime_ok": bool(steady_p99_ms < 25.0),
                     "realtime_budget_ms": 25.0,
                     # hand Pallas kernel vs production XLA backward, B=512

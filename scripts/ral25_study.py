@@ -93,6 +93,17 @@ def main():
         "--out",
         default=str(Path(__file__).resolve().parents[1] / "docs" / "ral25_results.json"),
     )
+    ap.add_argument(
+        "--verify", action="store_true",
+        help="post-hoc worst-case CWC certification of every offline plan "
+             "over the inertial ambiguity set (the reference's "
+             "process_sim_runs.py step); writes docs/ral25_verification.md",
+    )
+    ap.add_argument(
+        "--verify-realizable", action="store_true",
+        help="also verify over the density-REALIZABLE (moment-relaxation) "
+             "parameter set (slower)",
+    )
     args = ap.parse_args()
 
     h = args.height / 100.0
@@ -117,6 +128,8 @@ def main():
             iterations=args.iterations,
             kp=args.kp,
             com_variant=variant,
+            verify=args.verify,
+            verify_realizable=args.verify_realizable,
         )
         out["wall_s"] = round(time.time() - t0, 1)
         study["variants"][variant] = out
@@ -157,6 +170,50 @@ def main():
     ]
     md.write_text("\n".join(lines))
     print(f"saved {md}")
+
+    if args.verify:
+        # the reference's process_sim_runs.py deliverable: per-variant
+        # worst-case CWC certification of the PLANNED trajectories over the
+        # inertial ambiguity set, next to the closed-loop failure counts
+        vmd = Path(args.out).parent / "ral25_verification.md"
+        vlines = [
+            "# ral25 post-hoc worst-case verification (recorded)",
+            "",
+            f"Generated by `scripts/ral25_study.py --height {args.height} "
+            + "--verify"
+            + (" --verify-realizable" if args.verify_realizable else "")
+            + "`:",
+            "every offline plan's states certified against the full CoM-box",
+            "x inertia-scale ambiguity set via the exact vertex form of the",
+            "contact-wrench-cone faces (robust/verification.py — the",
+            "reference's process_sim_runs.py:87-270 MOSEK step in closed",
+            "form"
+            + (", plus the density-realizable moment relaxation"
+               if args.verify_realizable else "")
+            + ").  Positive violation = some feasible parameters break",
+            "balance at a planned state; sim failures = displacement > 0.5 m",
+            "over the 135-run true-parameter grid.",
+            "",
+            "| variant | waypoint | worst-case CWC violation | states in violation | sim failures |",
+            "|---|---|---|---|---|",
+        ]
+        for variant, out in study["variants"].items():
+            for w in out["waypoints"]:
+                v = w.get("verification", {})
+                extra = ""
+                if "worst_case_cwc_violation_realizable" in v:
+                    extra = (
+                        f" (realizable {v['worst_case_cwc_violation_realizable']:.3f})"
+                    )
+                vlines.append(
+                    f"| {variant} | {w['waypoint']} | "
+                    f"{v.get('worst_case_cwc_violation', float('nan')):.3f}{extra} | "
+                    f"{v.get('violation_steps', '?')} / {v.get('n_states', '?')} | "
+                    f"{w['failures']} / {w['runs']} |"
+                )
+        vlines.append("")
+        vmd.write_text("\n".join(vlines))
+        print(f"saved {vmd}")
 
 
 if __name__ == "__main__":

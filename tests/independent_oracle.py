@@ -478,3 +478,310 @@ def ocp_config_patch(config):
         }
     ]
     return config
+
+
+# ---------------------------------------------------------------------------
+# flagship variant (VERDICT r3 weak #5): the benchmark operating point —
+# omnidirectional Thing base (PX/PY/RZ planar composite + the UR10 arm,
+# reference util.h:16-66 base joints), pink-bottle arrangement with
+# frictional 3-D contact forces, static sphere-course obstacle rows
+# (controller_interface.cpp:450-481 semantics), N = 20 @ dt = 0.1 s —
+# the operating point of configs/demos/thing_demo.yaml + the ral23
+# static_obstacles course (upright_cmd/config/controller.yaml:13,55).
+# u = [jerk(9), f_1..f_4 (3 each)], forces ON THE TRAY in the EE frame.
+# ---------------------------------------------------------------------------
+
+FN = 20
+FDT = 0.1
+FNQ = 9
+FNC = 4
+FNU = FNQ + 3 * FNC  # 21
+
+# pink bottle (configs/objects.yaml; cylinder inertia from first principles)
+BOTTLE_MASS = 0.827
+BOTTLE_R = 0.035
+BOTTLE_H = 0.255
+BOTTLE_COM = np.array([0.035, -0.035, BOTTLE_H / 2])
+_ixx = BOTTLE_MASS * (3 * BOTTLE_R**2 + BOTTLE_H**2) / 12.0
+BOTTLE_I = np.diag([_ixx, _ixx, BOTTLE_MASS * BOTTLE_R**2 / 2.0])
+MU_B = 0.26 - 0.026  # contact mu minus mu_margin (arrangement pink_bottle)
+# cylinder-on-tray contact patch: the inscribed rotated square at radius r,
+# inset 0.005 toward the centroid on the object side (parsing.py:223-251 +
+# :196-212 inset semantics); order +x, +y, -x, -y about the bottle center
+_inset_r = BOTTLE_R - 0.005
+CONTACTS_B = np.array(
+    [
+        [BOTTLE_COM[0] + _inset_r, BOTTLE_COM[1], 0.0],
+        [BOTTLE_COM[0], BOTTLE_COM[1] + _inset_r, 0.0],
+        [BOTTLE_COM[0] - _inset_r, BOTTLE_COM[1], 0.0],
+        [BOTTLE_COM[0], BOTTLE_COM[1] - _inset_r, 0.0],
+    ]
+)
+
+FLAG_HOME = np.concatenate(
+    [[-1.0, 1.0, 0.0], np.array([0.5, -0.25, 0.5, -0.25, 0.5, 0.417]) * np.pi]
+)
+# thing.yaml limits
+FQ_LIM = np.concatenate([[10.0, 10.0, 10.0], 2 * np.pi * np.ones(6)])
+FV_LIM = np.array([1.1, 1.1, 2.0, 2.0, 2.0, 3.0, 3.0, 3.0, 3.0])
+FA_LIM = np.concatenate([[2.5, 2.5, 1.0], 10.0 * np.ones(6)])
+FJERK_LIM = np.concatenate([[20.0, 20.0, 20.0], 80.0 * np.ones(6)])
+FW_STATE = 0.01 * np.diag([0.0] * 9 + [10.0] * 9 + [1.0] * 9)
+F_SCALE_B = BOTTLE_MASS  # mass-scaled force variables (problem.py)
+FW_INPUT = np.diag([0.001] * 9 + [0.001 / F_SCALE_B**2] * (3 * FNC))
+FLAG_WAYPOINT = np.array([-2.0, 1.0, 0.0])  # ral23 _point1, relative
+
+# static sphere course (configs/obstacles/static_course.yaml controller side)
+OBS_SPHERES = np.array(
+    [
+        [0.0, 0.25, 0.25], [0.0, 0.25, 0.50], [0.0, 0.25, 0.75],
+        [1.5, 1.00, 0.25], [1.5, 1.00, 0.50], [1.5, 1.00, 0.75],
+        [-0.4, 2.9, 0.25], [-0.4, 2.9, 0.50], [-0.4, 2.9, 0.75],
+    ]
+)
+OBS_R = 0.25
+EE_SPHERE_OFF = np.array([0.0, 0.0, 0.07])
+EE_SPHERE_R = 0.25
+BASE_SPHERE_OFF = np.array([0.0, 0.0, 0.25])  # along base z: yaw-invariant
+BASE_SPHERE_R = 0.5
+MIN_DIST = 0.1
+
+_T_MOUNT = np.eye(4)
+_T_MOUNT[:3, :3] = rpy_to_R(MOUNT_RPY)
+_T_MOUNT[:3, 3] = MOUNT_XYZ
+T_MOUNT_T = torch.tensor(_T_MOUNT)
+BOTTLE_COM_T = torch.tensor(BOTTLE_COM)
+BOTTLE_I_T = torch.tensor(BOTTLE_I)
+CONTACTS_B_T = torch.tensor(CONTACTS_B)
+FW_STATE_T = torch.tensor(FW_STATE)
+FW_INPUT_T = torch.tensor(FW_INPUT)
+OBS_SPHERES_T = torch.tensor(OBS_SPHERES)
+
+
+def fk_flag(q):
+    """Torch FK of the Thing: planar composite base (PX, PY, RZ) -> arm
+    mount -> UR10 DH chain -> tool.  q (9,) -> flat [R (9,), r (3,)]."""
+    cy, sy = torch.cos(q[2]), torch.sin(q[2])
+    one = torch.ones(())
+    zero = torch.zeros(())
+    T = torch.stack(
+        [
+            torch.stack([cy, -sy, zero, q[0]]),
+            torch.stack([sy, cy, zero, q[1]]),
+            torch.stack([zero, zero, one, zero]),
+            torch.stack([zero, zero, zero, one]),
+        ]
+    )
+    T = T @ T_MOUNT_T
+    for i, (a, alpha, d) in enumerate(DH):
+        ct, st = torch.cos(q[3 + i]), torch.sin(q[3 + i])
+        ca = torch.tensor(np.cos(alpha))
+        sa = torch.tensor(np.sin(alpha))
+        A = torch.stack(
+            [
+                torch.stack([ct, -st * ca, st * sa, a * ct]),
+                torch.stack([st, ct * ca, -ct * sa, a * st]),
+                torch.stack([zero, sa * one, ca * one, d * one]),
+                torch.stack([zero, zero, zero, one]),
+            ]
+        )
+        T = T @ A
+    T = T @ T_TOOL_T
+    return torch.cat([T[:3, :3].reshape(-1), T[:3, 3]])
+
+
+def ee_motion_flag(q, v, a):
+    """EE pose + classical derivatives for the Thing (nested JVP)."""
+    t0 = torch.zeros(())
+
+    def curve(t):
+        return fk_flag(q + t * v + 0.5 * t * t * a)
+
+    def first(t):
+        return torch.func.jvp(curve, (t,), (torch.ones(()),))
+
+    (val, dval), (_, ddval) = torch.func.jvp(first, (t0,), (torch.ones(()),))
+    C = val[:9].reshape(3, 3)
+    r = val[9:]
+    Cd = dval[:9].reshape(3, 3)
+    rd = dval[9:]
+    Cdd = ddval[:9].reshape(3, 3)
+    rdd = ddval[9:]
+    return C, r, rd, Cd, rdd, Cdd
+
+
+def dyn_step_flag(x, u):
+    q, v, a = x[:9], x[9:18], x[18:27]
+    j = u[:9]
+    q1 = q + FDT * v + 0.5 * FDT**2 * a + FDT**3 / 6.0 * j
+    v1 = v + FDT * a + 0.5 * FDT**2 * j
+    a1 = a + FDT * j
+    return torch.cat([q1, v1, a1])
+
+
+def newton_euler_flagship(x, u):
+    """6 balance rows, world frame, mass-normalized (as the UR10 variants:
+    upright_tpu's rows are the EE-frame rotation scaled by 1/sqrt(6))."""
+    q, v, a = x[:9], x[9:18], x[18:27]
+    forces = u[9:].reshape(FNC, 3)
+    C, r, rd, Cd, rdd, Cdd = ee_motion_flag(q, v, a)
+
+    f_obj_e = -forces.sum(dim=0)
+    newton = BOTTLE_MASS * (rdd + Cdd @ BOTTLE_COM_T - G_T) - C @ f_obj_e
+
+    Sw = Cd @ C.T
+    w = vee(Sw)
+    Sal = Cdd @ C.T + Cd @ Cd.T
+    al = vee(Sal)
+    I_w = C @ BOTTLE_I_T @ C.T
+    tau = torch.zeros(3)
+    for i in range(FNC):
+        arm = C @ (CONTACTS_B_T[i] - BOTTLE_COM_T)
+        tau = tau + torch.linalg.cross(arm, C @ (-forces[i]))
+    euler = I_w @ al + torch.linalg.cross(w, I_w @ w) - tau
+    return torch.cat([newton, euler]) / BOTTLE_MASS
+
+
+def cone_rows_flagship(u, mu=MU_B):
+    forces = u[9:].reshape(FNC, 3)
+    rows = []
+    for i in range(FNC):
+        f = forces[i]
+        f_n = NORMAL_T @ f
+        rows.append(
+            torch.stack(
+                [
+                    f_n,
+                    mu * f_n - f[0] - f[1],
+                    mu * f_n - f[0] + f[1],
+                    mu * f_n + f[0] - f[1],
+                    mu * f_n + f[0] + f[1],
+                ]
+            )
+        )
+    return torch.cat(rows)
+
+
+def obstacle_rows_flagship(x):
+    """Sphere-sphere distance rows vs the static course: the EE-attached
+    balanced-object sphere and the base sphere against all 9 pillars
+    (|c_robot - c_obs| - (r_a + r_b + min_dist) >= 0)."""
+    q = x[:9]
+    C, r, *_ = ee_motion_flag(q, torch.zeros(9), torch.zeros(9))
+    c_ee = r + C @ torch.tensor(EE_SPHERE_OFF)
+    c_base = torch.stack([q[0], q[1], torch.tensor(BASE_SPHERE_OFF[2])])
+    rows = []
+    for c_rob, r_rob in ((c_ee, EE_SPHERE_R), (c_base, BASE_SPHERE_R)):
+        d = torch.linalg.norm(OBS_SPHERES_T - c_rob[None, :], dim=1)
+        rows.append(d - (r_rob + OBS_R + MIN_DIST))
+    return torch.cat(rows)
+
+
+def rollout_flagship(Uflat):
+    U = Uflat.reshape(FN, FNU)
+    xs = [X0_FLAG]
+    for k in range(FN):
+        xs.append(dyn_step_flag(xs[-1], U[k]))
+    return torch.stack(xs), U
+
+
+def stage_cost_flagship(x, u):
+    dx = x - X0_FLAG
+    c = 0.5 * dx @ FW_STATE_T @ dx + 0.5 * u @ FW_INPUT_T @ u
+    _, r, *_ = ee_motion_flag(x[:9], x[9:18], x[18:27])
+    e = r - RD_FLAG
+    return c + 0.5 * e @ e
+
+
+def objective_flagship_t(Uflat):
+    X, U = rollout_flagship(Uflat)
+    cost = torch.zeros(())
+    for k in range(FN):
+        cost = cost + stage_cost_flagship(X[k], U[k])
+    return cost
+
+
+def eq_vec_flagship_t(Uflat):
+    X, U = rollout_flagship(Uflat)
+    rows = []
+    for k in range(FN):
+        rows.append(newton_euler_flagship(X[k], U[k]))
+    _, r, *_ = ee_motion_flag(X[FN][:9], X[FN][9:18], X[FN][18:27])
+    rows.append(r - RD_FLAG)
+    rows.append(X[FN][9:27])
+    return torch.cat(rows)
+
+
+def ineq_vec_flagship_t(Uflat):
+    """Cone rows + state boxes + obstacle-distance rows per stage."""
+    X, U = rollout_flagship(Uflat)
+    rows = []
+    qlim = torch.tensor(FQ_LIM)
+    vlim = torch.tensor(FV_LIM)
+    alim = torch.tensor(FA_LIM)
+    for k in range(FN):
+        xr = X[k]
+        rows += [
+            cone_rows_flagship(U[k]),
+            xr[:9] + qlim, qlim - xr[:9],
+            xr[9:18] + vlim, vlim - xr[9:18],
+            xr[18:27] + alim, alim - xr[18:27],
+            obstacle_rows_flagship(xr),
+        ]
+    return torch.cat(rows)
+
+
+def z_bounds_flagship():
+    u_lo = np.concatenate([-FJERK_LIM, -F_MAX * np.ones(3 * FNC)])
+    u_hi = np.concatenate([FJERK_LIM, F_MAX * np.ones(3 * FNC)])
+    return np.tile(u_lo, FN), np.tile(u_hi, FN)
+
+
+X0_FLAG = torch.tensor(np.concatenate([FLAG_HOME, np.zeros(18)]))
+
+with torch.no_grad():
+    _ff = fk_flag(torch.tensor(FLAG_HOME))
+    R0_FLAG = _ff[:9].reshape(3, 3).numpy()
+    R_EE0_FLAG = _ff[9:].numpy()
+RD_FLAG = torch.tensor(R_EE0_FLAG + FLAG_WAYPOINT)
+
+
+def flagship_config_patch(config):
+    """Patch a loaded thing_demo config dict to the flagship oracle spec:
+    frictional pink bottle, static sphere course with the two
+    oracle-modeled robot spheres (EE + base), point1 waypoint, N = 20."""
+    config["controller"]["balancing"]["frictionless"] = False
+    config["controller"]["sqp"] = dict(
+        config["controller"].get("sqp", {}), dt=FDT
+    )
+    config["controller"]["mpc"]["time_horizon"] = FN * FDT
+    config["controller"]["waypoints"] = [
+        {
+            "time": 0.0,
+            "position": FLAG_WAYPOINT.tolist(),
+            "orientation": [0, 0, 0, 1],
+        }
+    ]
+    config["controller"]["obstacles"] = {
+        "enabled": True,
+        "minimum_distance": MIN_DIST,
+        "collision_spheres": [
+            {
+                "name": "balanced_object",
+                "link": "gripped_object_joint",
+                "offset": EE_SPHERE_OFF.tolist(),
+                "radius": EE_SPHERE_R,
+            },
+            {
+                "name": "base",
+                "link": "base_to_y_joint",
+                "offset": BASE_SPHERE_OFF.tolist(),
+                "radius": BASE_SPHERE_R,
+            },
+        ],
+        "static_obstacles": [
+            {"name": f"s{i}", "position": p.tolist(), "radius": OBS_R}
+            for i, p in enumerate(OBS_SPHERES)
+        ],
+    }
+    return config

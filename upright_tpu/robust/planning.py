@@ -384,7 +384,7 @@ def ral25_protocol(config, com_half_extents=None, waypoints=None,
         worst = disp.max(axis=1)
         finite = worst[np.isfinite(worst)]
         entry = {
-            "waypoint": list(np.asarray(wp, dtype=float)),
+            "waypoint": [float(v) for v in np.asarray(wp, dtype=float)],
             "runs": int(disp.shape[0]),
             "failures": count_failures(disp, failure_threshold),
             "n_diverged": int((~np.isfinite(worst)).sum()),
