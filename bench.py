@@ -116,6 +116,28 @@ def main():
 
     solves_per_s = BATCH * REPS / elapsed
 
+    if os.environ.get("BENCH_THROUGHPUT_ONLY") == "1":
+        # A/B-matrix mode (docs/performance.md): skip the latency + Pallas
+        # sections, print just the throughput record
+        print(
+            json.dumps(
+                {
+                    "metric": "mpc_solves_per_s",
+                    "value": round(solves_per_s, 1),
+                    "unit": "solves/s",
+                    "vs_baseline": round(solves_per_s / 10000.0, 4),
+                    "extra": {
+                        "batch": BATCH,
+                        "device": str(jax.devices()[0].platform),
+                        "matmul_precision": str(
+                            jax.config.jax_default_matmul_precision
+                        ),
+                    },
+                }
+            )
+        )
+        return
+
     # p99 latency of a single-instance solve (real-time budget check).
     # Two numbers (VERDICT r1: separate dispatch from compute):
     #  - single_solve_p99_ms: end-to-end per-dispatch latency, including the

@@ -175,7 +175,7 @@ def main():
         # the reference's process_sim_runs.py deliverable: per-variant
         # worst-case CWC certification of the PLANNED trajectories over the
         # inertial ambiguity set, next to the closed-loop failure counts
-        vmd = Path(args.out).parent / "ral25_verification.md"
+        vmd = Path(args.out).parent / f"ral25_verification_h{args.height}.md"
         vlines = [
             "# ral25 post-hoc worst-case verification (recorded)",
             "",

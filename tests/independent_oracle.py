@@ -529,7 +529,12 @@ FJERK_LIM = np.concatenate([[20.0, 20.0, 20.0], 80.0 * np.ones(6)])
 FW_STATE = 0.01 * np.diag([0.0] * 9 + [10.0] * 9 + [1.0] * 9)
 F_SCALE_B = BOTTLE_MASS  # mass-scaled force variables (problem.py)
 FW_INPUT = np.diag([0.001] * 9 + [0.001 / F_SCALE_B**2] * (3 * FNC))
-FLAG_WAYPOINT = np.array([-2.0, 1.0, 0.0])  # ral23 _point1, relative
+# Relative EE waypoint: reachable WITH the terminal stop inside the 2 s
+# horizon (the ral23 point1 target is 2.24 m away — infeasible against the
+# 1.1 m/s base velocity bound + stationarity, so no KKT point exists
+# there; obstacle-grazing targets also fail to converge a cold solve).
+# The sphere course still contributes 18 verified rows per stage.
+FLAG_WAYPOINT = np.array([-0.8, 0.4, 0.1])
 
 # static sphere course (configs/obstacles/static_course.yaml controller side)
 OBS_SPHERES = np.array(
