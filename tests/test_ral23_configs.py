@@ -28,8 +28,9 @@ def test_matrix_shape():
     # full: 12 static_obstacles + 12 freespace points + 3 freespace arm_only
     # + simulations full_with_fixture (the bare simulations/full.yaml does
     # not match the prefix)
-    # (+3 static_obstacles arm_only added in round 3)
-    assert sum(n.startswith("full_") for n in names) == 31
+    # (+3 static_obstacles arm_only added in round 3;
+    #  +simulations/unused/full_h0 model-mismatch extra in round 4)
+    assert sum(n.startswith("full_") for n in names) == 32
     # robust: 12 static_obstacles + 12 freespace points + 3 arm_only + 4
     # aligned_failure + simulations {with_fixture, with_stack, with_tall,
     # with_tall_multi}
@@ -48,8 +49,9 @@ def test_matrix_shape():
     # freespace/{none,upward,high_mu}) + simulations *_with_fixture
     assert sum(n.startswith("none_") for n in names) == 13
     assert sum(n.startswith("upward_") for n in names) == 13
-    assert sum(n.startswith("high_mu_") for n in names) == 3
-    assert len(LEAVES) >= 138
+    # 3 freespace cups points + simulations/unused/high_mu_bottle (r4)
+    assert sum(n.startswith("high_mu_") for n in names) == 4
+    assert len(LEAVES) >= 140
 
 
 @pytest.mark.parametrize("path", LEAVES)

@@ -320,6 +320,15 @@ def _final_derivatives(ocp: OCP, cfg: ALConfig, x, p_f, lam_f):
 # ---------------------------------------------------------------------------
 
 
+# Input-dimension cutoff for the unrolled elementwise Cholesky: the unroll
+# wins on TPU for the small production blocks (4.6x at nu = 13, measured),
+# but its op count grows as nu^3/6 INSIDE the scan body, so XLA compile
+# time explodes for the wide multi-object frictional problems (nu = 45 for
+# the 3-object arch: ~20 min compiles).  Above this, the blocked XLA
+# Cholesky is used instead.
+_UNROLLED_CHOL_MAX_NU = 24
+
+
 def _chol_factor_unrolled(M, eps=1e-12):
     """Unrolled Cholesky of a tiny (..., n, n) SPD matrix (n = nu ~ 10-13).
 
@@ -401,11 +410,20 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
         Qux = Q[nx:, :nx]
         Qu = q[nx:]
 
-        L = _chol_factor_unrolled(Quu)
-        # one fused solve for [K | kff] (shared forward/back substitution)
-        sol_kk = -_chol_solve_unrolled(
-            L, jnp.concatenate([Qux, Qu[..., None]], axis=-1)
-        )
+        rhs = jnp.concatenate([Qux, Qu[..., None]], axis=-1)
+        if nu <= _UNROLLED_CHOL_MAX_NU:
+            L = _chol_factor_unrolled(Quu)
+            # one fused solve for [K | kff] (shared substitutions)
+            sol_kk = -_chol_solve_unrolled(L, rhs)
+        else:
+            # blocked XLA Cholesky for wide input blocks: the unrolled
+            # factorization emits ~nu^3/6 scalar HLO ops in the scan body,
+            # which blows up COMPILE time cubically (a 45-wide frictional
+            # 3-object problem took 20 min to compile; blocked compiles in
+            # seconds and the unrolled VPU win only holds for small nu)
+            import jax.scipy.linalg as jsp
+
+            sol_kk = -jsp.cho_solve((jnp.linalg.cholesky(Quu), True), rhs)
         K, kff = sol_kk[..., :nx], sol_kk[..., nx]
 
         P_new = Q[:nx, :nx] + Qux.T @ K
