@@ -176,10 +176,20 @@ class UprightSimulation:
             self.object_substeps = int(sim_config["object_substeps"])
         elif self.specs:
             # the stiffest coupled mode includes the ROTATIONAL response of a
-            # contact at lever arm L: effective mass 1/(1/m + L^2/I_min)
+            # contact at lever arm L (effective mass 1/(1/m + L^2/I_min))
+            # AND the number of SIMULTANEOUS contacts: a face resting on
+            # n_eff vertices multiplies the total spring/damping rate by
+            # n_eff, so the substep budget carries a sqrt(n_eff) factor.
+            # Without it the resting stacked-dice damping mode sat at
+            # dt*rate ~ 1.0 (marginally unstable) and pumped energy until
+            # the top die spun off after ~4.5 s of quiescence.
             m_eff_min = min(_effective_mass(sp) for sp in self.specs)
-            omega = np.sqrt(self.k_contact / m_eff_min)
-            self.object_substeps = int(np.clip(np.ceil(self.timestep * omega * 4.0 / 0.3), 1, 64))
+            n_eff = max(
+                max(1, len(np.asarray(sp.vertices_local)) // 2)
+                for sp in self.specs
+            )
+            omega = np.sqrt(self.k_contact / m_eff_min * n_eff)
+            self.object_substeps = int(np.clip(np.ceil(self.timestep * omega * 4.0 / 0.3), 1, 128))
         else:
             self.object_substeps = 1
 
@@ -338,7 +348,12 @@ class UprightSimulation:
             # lever arm (1/m + L^2/I_min)^-1 — a vertex force at lever L
             # drives the angular mode much harder than the linear one, and
             # capping by m alone lets the friction damping destabilize the
-            # rotation (a resting box on a wedge would tumble numerically)
+            # rotation (a resting box on a wedge would tumble numerically).
+            # Simultaneous contacts (a box face rests on ~4 vertices) are
+            # handled by the substep count, NOT by weakening these caps:
+            # dividing the friction-gain cap by the contact count lets
+            # objects creep below the friction angle (the regularized model
+            # NEEDS gain ~ mu f_n / v_slip to hold statically).
             m_i = params["mass"][i]
             L2 = float(np.max(np.sum(np.asarray(spec.vertices_local) ** 2, axis=1)))
             I_min = jnp.min(jnp.diagonal(params["inertia"][i]))
@@ -378,17 +393,46 @@ class UprightSimulation:
                     axis=1,
                 )
                 # contact within the face extent and not past the owning
-                # box's midplane
+                # box's midplane.  (A smooth edge fade was tried to remove
+                # the force discontinuity at the face boundary; fading
+                # inward cut the nominal corner support of stacked dice,
+                # fading outward created a phantom ledge that arrested
+                # objects mid-fall — the binary edge stays, and the
+                # regularized model's creep-to-the-edge failure mode for
+                # long quasi-static stacked holds is documented in
+                # configs/simulation.yaml + the ral23 sweep tables.)
                 in_contact = (delta > 0.0) & (delta <= surf.max_depth) & inside
 
                 # relative velocity of each vertex w.r.t. the surface point
-                v_vert = v[i] + jnp.cross(w[i][None, :], p_w - r[i])
+                lever = p_w - r[i]
+                v_vert = v[i] + jnp.cross(w[i][None, :], lever)
                 v_parent = v_p + jnp.cross(w_p[None, :], p_w - r_p)
                 v_rel = v_vert - v_parent
                 v_n = v_rel @ n_w
                 v_t = v_rel - v_n[:, None] * n_w
 
-                f_n_mag = jnp.maximum(0.0, k_i * delta - c_i * v_n)
+                # semi-implicit (prefiltered) damping: a raw viscous force
+                # -c v applied explicitly can reverse the relative velocity
+                # within one substep when dt*c*(1/m + L^2/I) ~ 1 — with
+                # several vertices in contact the coupled rotational mode
+                # then sits AT the stability boundary and pumps energy (the
+                # resting dice stack spontaneously spun apart after ~4.5 s).
+                # Dividing each vertex's damping gain by
+                # (1 + dt * c * n_eff * w_v), with w_v the vertex's inverse
+                # effective mass and n_eff the simultaneous-contact count,
+                # is the per-vertex implicit solution: the damping impulse
+                # can at most cancel the relative velocity (contraction),
+                # while at physically-relevant gains the correction factor
+                # is ~1 so statics (friction-angle hold) are unchanged.
+                n_eff = max(1, V.shape[0] // 2)
+                w_v = 1.0 / m_i + (lever**2).sum(axis=1) / jnp.maximum(
+                    I_min, 1e-12
+                )  # (k,)
+                def prefilter(gain_v):
+                    return gain_v / (1.0 + dt * gain_v * n_eff * w_v)
+
+                c_v = prefilter(c_i * jnp.ones_like(w_v))
+                f_n_mag = jnp.maximum(0.0, k_i * delta - c_v * v_n)
                 # clamp for numerical robustness under violent commands
                 # (deep penetration -> bounded force, not exploding)
                 f_n_mag = jnp.minimum(f_n_mag, self.max_contact_force)
@@ -410,7 +454,7 @@ class UprightSimulation:
                     )
                     d_t = t_coords - anchor_eff  # (k, 2) surface frame
                     F_spring = -(d_t @ T_w) * k_i  # (k, 3) world
-                    F_t = F_spring - c_i * v_t
+                    F_t = F_spring - c_v[:, None] * v_t
                     F_mag = jnp.linalg.norm(F_t, axis=1)
                     F_max = params["mu"][i] * f_n_mag
                     scale = jnp.minimum(1.0, F_max / jnp.maximum(F_mag, 1e-12))
@@ -437,8 +481,7 @@ class UprightSimulation:
                     # mu f_n / (|v_t| + eps); for light objects that exceeds
                     # the explicit-integration limit, so clamp the gain
                     v_t_norm = jnp.linalg.norm(v_t, axis=1) + self.v_slip
-                    gain = params["mu"][i] * f_n_mag / v_t_norm
-                    gain = jnp.minimum(gain, 0.3 * m_eff / dt)
+                    gain = prefilter(params["mu"][i] * f_n_mag / v_t_norm)
 
                     f_c = f_n_mag[:, None] * n_w - gain[:, None] * v_t  # (k, 3)
                 f_tot = f_tot + f_c.sum(axis=0)
