@@ -201,6 +201,7 @@ def main():
     print(f"saved {args.out}")
 
     md = Path(args.out).with_suffix(".md")
+    fm = args.friction_model or "regularized (default)"
     lines = [
         "# ral23 experiment sweep (recorded results)",
         "",
@@ -208,6 +209,30 @@ def main():
         "run closed-loop (100 Hz replanning, full duration), experiment",
         "groups batched as single vmapped device loops.  failure = balanced",
         f"object displaced > {FAIL_DISP_M*100:.0f} cm in the tray frame.",
+        f"Plant friction model: **{fm}**.  Matmul precision: "
+        f"**{jax.config.jax_default_matmul_precision}** (the recorded sweep "
+        "runs at `highest` — several marginal stacked/arch leaves are f32",
+        "knife-edges whose hold/slide outcome flips with 3-pass-bf16 "
+        "stage-Jacobian noise; the online latency/throughput headlines",
+        "remain at the shipped `high`).",
+        "",
+        "Reading the failures:",
+        "- `none_*` / `upward_*` leaves are ABLATIONS (no tray control /",
+        "  tray held level): flinging the payload is the experiment's",
+        "  expected differential, not a defect.",
+        "- `aligned_arch_*`: the alignment heuristic cannot supply the",
+        "  lateral force balance the arch bridge needs — expected ablation",
+        "  physics (the balancing controllers hold the same arch).",
+        "- under the REGULARIZED model, leaves that demand sustained force",
+        "  at the friction-cone boundary (`full_arch_*`) or a stacked die",
+        "  held quasi-statically for > ~5 s (`*_dice_*` tails) CREEP —",
+        "  regularized Coulomb friction only transmits force through slip,",
+        "  and mm/s tray jitter ratchets small stacked objects to their",
+        "  support edge.  The stiction table",
+        "  (`ral23_results_stiction.md`, anchor-spring static friction —",
+        "  the reference's PyBullet LCP contact regime) shows those same",
+        "  leaves holding.  Displacements capped at 1 m are the plant's",
+        "  divergence containment (the object left the tray and froze).",
         "",
     ]
     for family, rows in results.items():
