@@ -162,6 +162,19 @@ def run_group(name, paths, ctrl_rate=100.0, friction_model=None):
     return rows
 
 
+def _git_hash():
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parents[1],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="static_obstacles,freespace")
@@ -169,15 +182,30 @@ def main():
                     help="comma-separated group-name filter (debugging)")
     ap.add_argument("--friction-model", default=None,
                     choices=["regularized", "stiction"],
-                    help="override the plant friction model for every leaf")
+                    help="override the plant friction model for every leaf "
+                    "(default: each leaf's configured model — stiction "
+                    "unless the leaf opts out)")
+    ap.add_argument("--precision", default="highest",
+                    choices=["default", "high", "highest"],
+                    help="matmul precision the sweep runs at (recorded in "
+                    "the artifact)")
     ap.add_argument("--ctrl-rate", type=float, default=100.0)
     ap.add_argument(
-        "--out",
-        default=str(
-            Path(__file__).resolve().parents[1] / "docs" / "ral23_results.json"
-        ),
+        "--out", default=None,
+        help="output JSON (default docs/ral23_results.json, or "
+        "docs/ral23_results_stiction.json under --friction-model stiction)",
     )
     args = ap.parse_args()
+
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
+    if args.out is None:
+        stem = "ral23_results"
+        if args.friction_model:
+            stem += f"_{args.friction_model}"
+        args.out = str(
+            Path(__file__).resolve().parents[1] / "docs" / f"{stem}.json"
+        )
 
     root = Path(__file__).resolve().parents[1] / "configs" / "ral23"
     results = {}
@@ -196,12 +224,26 @@ def main():
             )
         results[family] = fam_rows
 
+    # provenance stamp (VERDICT r4 item 10): a stale artifact — generated by
+    # an older script/plant revision than the committed tree — is detectable
+    # from the JSON itself
+    results["_provenance"] = {
+        "script": "scripts/ral23_sweep.py",
+        "git_hash": _git_hash(),
+        "matmul_precision": str(args.precision),
+        "friction_model": args.friction_model or "per-leaf default",
+        "ctrl_rate_hz": args.ctrl_rate,
+        "generated_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+    }
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"saved {args.out}")
 
     md = Path(args.out).with_suffix(".md")
-    fm = args.friction_model or "regularized (default)"
+    fm = args.friction_model or "per-leaf default"
+    prov = results["_provenance"]
     lines = [
         "# ral23 experiment sweep (recorded results)",
         "",
@@ -210,11 +252,8 @@ def main():
         "groups batched as single vmapped device loops.  failure = balanced",
         f"object displaced > {FAIL_DISP_M*100:.0f} cm in the tray frame.",
         f"Plant friction model: **{fm}**.  Matmul precision: "
-        f"**{jax.config.jax_default_matmul_precision}** (the recorded sweep "
-        "runs at `highest` — several marginal stacked/arch leaves are f32",
-        "knife-edges whose hold/slide outcome flips with 3-pass-bf16 "
-        "stage-Jacobian noise; the online latency/throughput headlines",
-        "remain at the shipped `high`).",
+        f"**{prov['matmul_precision']}**.  Generated at git "
+        f"`{prov['git_hash']}`, {prov['generated_utc']}.",
         "",
         "Reading the failures:",
         "- `none_*` / `upward_*` leaves are ABLATIONS (no tray control /",
@@ -236,6 +275,8 @@ def main():
         "",
     ]
     for family, rows in results.items():
+        if family == "_provenance":
+            continue
         n_fail = sum(r["failed"] for r in rows)
         lines += [
             f"## {family} — {len(rows)} runs, {n_fail} failures",

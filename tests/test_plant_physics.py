@@ -354,3 +354,29 @@ def test_stiction_energy_dissipates():
         )
         assert e < 1e-4 * m * 9.81 * h0
     assert float(jnp.linalg.norm(s.objects.v[0])) < 5e-3
+
+
+def test_divergence_latch_reports_inf_displacement():
+    """ADVICE r4 (medium): an integrator blow-up (non-finite state) must NOT
+    be reclassified as a held run by the divergence freeze — the latch makes
+    object_displacements report inf so protocol n_diverged counts fire."""
+    sim = make_sim(0.5, [0.06, 0.06, 0.06])
+    prescribe_static_frame(sim, np.eye(3))
+    s0 = sim.initial_state()
+    assert s0.objects.diverged is not None
+    assert not bool(np.asarray(s0.objects.diverged).any())
+
+    # poison the velocity: the next substep integrates NaN into r/v, the
+    # freeze holds the last finite pose, and the latch must record it
+    bad = s0.replace(
+        objects=s0.objects.replace(
+            v=s0.objects.v.at[0].set(jnp.nan * jnp.ones(3))
+        )
+    )
+    s1 = sim.step(bad, jnp.zeros(sim.robot.nq), n_steps=2)
+    assert bool(np.asarray(s1.objects.diverged)[0])
+    # frozen pose stays finite (containment) ...
+    assert np.isfinite(np.asarray(s1.objects.r)).all()
+    # ... but the reported displacement is inf (failure, not success)
+    disp = sim.object_displacements(s1)
+    assert np.isinf(disp[0])

@@ -91,8 +91,12 @@ def _parse_inertia(mass, type_conf):
     reference's box2_exact, upright_robust/config/controller.yaml)."""
     if "inertia" in type_conf:
         I = np.asarray(type_conf["inertia"], dtype=float)
-        if I.shape != (3, 3):
-            raise ValueError(f"explicit inertia must be 3x3, got {I.shape}")
+        if I.shape == (3,):
+            I = np.diag(I)
+        elif I.shape != (3, 3):
+            raise ValueError(
+                f"explicit inertia must be (3,) diagonal or 3x3, got {I.shape}"
+            )
         return I
     shape = type_conf["shape"].lower()
     if shape == "cylinder":
@@ -124,14 +128,7 @@ def _parse_body_and_box(type_conf, base_position, quat):
         local_com_offset += np.array([-hx, 0, -hz]) / 3
     com_offset = C @ local_com_offset
 
-    if "inertia" in type_conf:
-        local_inertia = np.array(type_conf["inertia"], dtype=float)
-        if local_inertia.shape == (3,):
-            local_inertia = np.diag(local_inertia)
-        elif local_inertia.shape != (3, 3):
-            raise ValueError(f"Object inertia matrix has wrong shape: {local_inertia.shape}")
-    else:
-        local_inertia = _parse_inertia(mass, type_conf)
+    local_inertia = _parse_inertia(mass, type_conf)
     inertia = C @ local_inertia @ C.T
 
     z = np.array([0.0, 0.0, 1.0])

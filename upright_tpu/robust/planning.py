@@ -159,7 +159,12 @@ def tracking_sweep(sim, plan: OfflinePlan, param_batch, kp=10.0,
         for i, spec in enumerate(sim.specs):
             r_oe = R_we.T @ (state.objects.r[i] - r_ew)
             out.append(jnp.linalg.norm(r_oe - jnp.asarray(spec.com_world_ee)))
-        return jnp.stack(out)
+        disp = jnp.stack(out)
+        if state.objects.diverged is not None:
+            # integrator blow-up latched by the plant's divergence freeze:
+            # count as inf so n_diverged statistics still fire
+            disp = jnp.where(state.objects.diverged, jnp.inf, disp)
+        return disp
 
     return np.asarray(jax.vmap(displacement)(finals))
 
@@ -213,6 +218,12 @@ def verify_offline_plan(prob, plan, com_half_extents,
     Returns {"worst_case_cwc_violation", "violation_steps", "n_states",
     ["worst_case_cwc_violation_realizable"]}.  Positive violation = some
     feasible parameters break balance at that planned state.
+
+    SINGLE-OBJECT only (the ral25 protocol's regime, matching the
+    reference's one-box experiments): the ambiguity set is built from
+    ``objects[names[0]]``/``com_half_extents[0]``, so a multi-object
+    arrangement would silently certify with the first object's parameter
+    set — we raise instead.
     """
     import upright_tpu.config as cfg_mod
     from upright_tpu.robust import modelling as rm
@@ -220,6 +231,12 @@ def verify_offline_plan(prob, plan, com_half_extents,
 
     conf_parse = dict(prob.config["controller"])
     model, names, objects, contacts = cfg_mod.parse_control_objects(conf_parse)
+    if len(names) > 1:
+        raise ValueError(
+            "verify_offline_plan certifies a SINGLE uncertain object "
+            f"(got {len(names)}: {names}); per-object ambiguity sets for "
+            "multi-object arrangements are not implemented"
+        )
     rcps = [rm.RobustContactPoint(c) for c in contacts]
     A = rm.compute_cwc_face_form(rm.compute_object_name_index(names), rcps)
     obj = objects[names[0]]

@@ -50,6 +50,13 @@ class ObjectsState:
     w: jnp.ndarray  # (n_obj, 3) angular velocities, world
     anchors: object = None
     anchor_valid: object = None
+    # (n_obj,) bool latch: set when an object's integrator state went
+    # NON-FINITE (as opposed to the displacement-threshold freeze, which is
+    # a legitimate "object left the tray" outcome).  object_displacements
+    # reports inf for latched objects so protocol statistics (ral25
+    # n_diverged, ral23 "diverged" rows) still count integrator blow-ups as
+    # failures instead of frozen-in-place successes.
+    diverged: object = None
 
 
 @flax.struct.dataclass
@@ -246,6 +253,7 @@ class UprightSimulation:
                 r=jnp.stack(rs), q=jnp.stack(qs),
                 v=jnp.zeros((self.n_obj, 3)), w=jnp.zeros((self.n_obj, 3)),
                 anchors=anchors, anchor_valid=anchor_valid,
+                diverged=jnp.zeros(self.n_obj, bool),
             )
         else:
             objects = ObjectsState(
@@ -523,10 +531,16 @@ class UprightSimulation:
             [quat_integrate(q[i], w_new[i], dt) for i in range(self.n_obj)]
         )
 
+        # `diverged` stays None (structurally) when the caller built the
+        # state without it — lax.scan carries must keep a fixed pytree
+        # structure; initial_state always materializes the latch
+        div = s.objects.diverged
         if self.divergence_freeze > 0:
             # dropped-object freeze (see __init__): an object past the
             # containment displacement, or one whose updated state went
-            # non-finite, holds its pose with zeroed velocity
+            # non-finite, holds its pose with zeroed velocity.  The
+            # non-finite case additionally latches `diverged` so the frozen
+            # (finite) pose cannot masquerade as a held run downstream.
             com_nom = jnp.asarray(
                 np.stack([np.asarray(sp.com_world_ee) for sp in self.specs])
             )
@@ -538,6 +552,8 @@ class UprightSimulation:
                 & jnp.isfinite(w_new).all(axis=1)
                 & jnp.isfinite(q_new).all(axis=1)
             )
+            if div is not None:
+                div = div | ~finite
             frozen = (disp > self.divergence_freeze) | ~finite
             hold = frozen[:, None]
             r_new = jnp.where(hold, r, r_new)
@@ -549,8 +565,9 @@ class UprightSimulation:
             return ObjectsState(
                 r=r_new, q=q_new, v=v_new, w=w_new,
                 anchors=tuple(new_anchors), anchor_valid=tuple(new_valid),
+                diverged=div,
             )
-        return ObjectsState(r=r_new, q=q_new, v=v_new, w=w_new)
+        return ObjectsState(r=r_new, q=q_new, v=v_new, w=w_new, diverged=div)
 
     # -- observation -----------------------------------------------------
 
@@ -571,7 +588,12 @@ class UprightSimulation:
         for i, spec in enumerate(self.specs):
             r_oe = R_we.T @ (state.objects.r[i] - r_ew)
             out.append(np.linalg.norm(np.asarray(r_oe - jnp.asarray(spec.com_world_ee))))
-        return np.asarray(out)
+        out = np.asarray(out)
+        if state.objects.diverged is not None and len(out):
+            # integrator blow-up (latched in _object_substep) reads as inf:
+            # the frozen finite pose is containment, not a measurement
+            out = np.where(np.asarray(state.objects.diverged), np.inf, out)
+        return out
 
 
 def _effective_mass(spec):

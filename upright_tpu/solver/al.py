@@ -420,10 +420,22 @@ def _backward_pass(ocp: OCP, cfg: ALConfig, A, B, d, grads, hess, gf, Hf):
             # factorization emits ~nu^3/6 scalar HLO ops in the scan body,
             # which blows up COMPILE time cubically (a 45-wide frictional
             # 3-object problem took 20 min to compile; blocked compiles in
-            # seconds and the unrolled VPU win only holds for small nu)
+            # seconds and the unrolled VPU win only holds for small nu).
+            # Safeguard parity with the unrolled path (which clamps pivots
+            # via sqrt(max(s, eps))): a relative diagonal jitter keeps a
+            # numerically-semidefinite Quu factorizable, and a NaN fallback
+            # re-factorizes with a large jitter so sol.K is never NaN (the
+            # feedback policy consumes K unconditionally, device_loop).
             import jax.scipy.linalg as jsp
 
-            sol_kk = -jsp.cho_solve((jnp.linalg.cholesky(Quu), True), rhs)
+            diag_scale = jnp.maximum(jnp.trace(Quu) / nu, 1e-9)
+            jit1 = 1e-7 * diag_scale * jnp.eye(nu, dtype=Quu.dtype)
+            L_b = jnp.linalg.cholesky(Quu + jit1)
+            bad = ~jnp.isfinite(L_b).all()
+            jit2 = 1e-3 * diag_scale * jnp.eye(nu, dtype=Quu.dtype)
+            L_safe = jnp.linalg.cholesky(Quu + jit2)
+            L_b = jnp.where(bad, L_safe, L_b)
+            sol_kk = -jsp.cho_solve((L_b, True), rhs)
         K, kff = sol_kk[..., :nx], sol_kk[..., nx]
 
         P_new = Q[:nx, :nx] + Qux.T @ K
