@@ -1,0 +1,215 @@
+"""Cross-validation of the JAX plant against an independent LCP-family
+contact integrator (VERDICT r4 item 4).
+
+The oracle (`tests/plant_oracle.py`) is a from-scratch numpy
+sequential-impulse solver — the algorithm family of PyBullet, the
+reference's ground-truth plant (reference upright_sim/src/upright_sim/
+simulation.py:546-684).  Both plants are driven by the SAME prescribed
+tray motion (no controller, no robot — boundary conditions only) from the
+SAME nominal arrangement, and must agree on the held / slid / tipped
+outcome of each balanced object.  Scenarios are chosen decisively away
+from the friction/tipping knife edges (0.4x and 1.5x the analytic slide
+threshold), because the experiments' claims live at the outcome level,
+not in mm-trajectories.
+
+Arrangements covered (>= 3 multi-object):
+  - foam_die2  — two stacked foam dice (the ral23 dice experiments)
+  - box_arch   — two standing pillars bridged by a block (the arch)
+  - wedge      — a box resting on a 15 deg wedge on the tray
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import upright_tpu.config as cfg
+from upright_tpu.core.math import quat_multiply, quat_to_rot, rot_to_quat
+from upright_tpu.kinematics.chain import FrameMotion
+from upright_tpu.sim.simulation import ObjectsState, SimState, UprightSimulation
+
+from plant_oracle import OracleWorld, classify, oracle_outcomes
+
+DT = 1e-3
+
+
+# -- shared scenario plumbing ------------------------------------------------
+
+
+def make_sim(arrangement, friction_model="stiction"):
+    base = cfg.load_config("configs/simulation.yaml")
+    ur10 = cfg.load_config("configs/robots/ur10.yaml")
+    sc = dict(base)
+    sc["arrangement"] = arrangement
+    sc["robot"] = ur10["simulation"]["robot"]
+    sc["friction_model"] = friction_model
+    sc["timestep"] = DT
+    return UprightSimulation(sc)
+
+
+def prescribe(sim, accel):
+    """Tray frame: identity rotation at the origin, constant world
+    acceleration `accel` from rest (accel = 0 -> static)."""
+    aj = jnp.asarray(np.asarray(accel, dtype=float))
+    z = jnp.zeros(3)
+    I = jnp.eye(3)
+
+    def pm(self, s):
+        t = s.t
+        return FrameMotion(R=I, p=0.5 * aj * t * t, v=aj * t, w=z, a=aj, al=z)
+
+    sim._parent_motion = types.MethodType(pm, sim)
+
+
+def tray_motion(accel):
+    a = np.asarray(accel, dtype=float)
+
+    def fn(t):
+        return np.eye(3), 0.5 * a * t * t, a * t, np.zeros(3)
+
+    return fn
+
+
+def plant_state(sim):
+    """Nominal arrangement placed at the tray frame (I, 0) — mirrors
+    initial_state but with the prescribed frame instead of robot FK."""
+    rs, qs = [], []
+    for sp in sim.specs:
+        rs.append(jnp.asarray(np.asarray(sp.com_world_ee, dtype=float)))
+        qs.append(jnp.asarray(np.asarray(sp.q_init, dtype=float)))
+    anchors = anchor_valid = None
+    if sim.friction_model == "stiction":
+        anchors = tuple(
+            jnp.zeros((len(sp.surfaces), len(sp.vertices_local), 2))
+            for sp in sim.specs
+        )
+        anchor_valid = tuple(
+            jnp.zeros((len(sp.surfaces), len(sp.vertices_local)), bool)
+            for sp in sim.specs
+        )
+    objects = ObjectsState(
+        r=jnp.stack(rs), q=jnp.stack(qs),
+        v=jnp.zeros((sim.n_obj, 3)), w=jnp.zeros((sim.n_obj, 3)),
+        anchors=anchors, anchor_valid=anchor_valid,
+        diverged=jnp.zeros(sim.n_obj, bool),
+    )
+    return SimState(
+        t=jnp.zeros(()), q=sim.q_home, v=jnp.zeros_like(sim.q_home),
+        objects=objects,
+    )
+
+
+def plant_outcomes(sim, state, accel, T):
+    """(disp, tilt, class) per object after running the JAX plant."""
+    R_t = np.eye(3)
+    p_t = 0.5 * np.asarray(accel, dtype=float) * T * T
+    out = []
+    for i, sp in enumerate(sim.specs):
+        r_e = R_t.T @ (np.asarray(state.objects.r[i]) - p_t)
+        disp = float(np.linalg.norm(r_e - np.asarray(sp.com_world_ee)))
+        R0 = np.asarray(quat_to_rot(jnp.asarray(sp.q_init)))
+        R1 = np.asarray(quat_to_rot(state.objects.q[i]))
+        z0, z1 = R0 @ np.array([0.0, 0, 1]), R1 @ np.array([0.0, 0, 1])
+        tilt = float(np.arccos(np.clip(z0 @ z1, -1.0, 1.0)))
+        if state.objects.diverged is not None and bool(
+            np.asarray(state.objects.diverged)[i]
+        ):
+            disp = np.inf
+        out.append((disp, tilt, classify(disp, tilt)))
+    return out
+
+
+def run_both(arrangement, accel, T, pgs_iters=25):
+    sim = make_sim(arrangement)
+    prescribe(sim, accel)
+    s0 = plant_state(sim)
+    n = int(round(T / DT))
+    s1 = sim.step(s0, jnp.zeros(sim.robot.nq), n_steps=n)
+    plant = plant_outcomes(sim, s1, accel, T)
+
+    world = OracleWorld.from_specs(
+        sim.specs, np.eye(3), np.zeros(3), pgs_iters=pgs_iters
+    )
+    com_nom = [np.asarray(sp.com_world_ee, dtype=float) for sp in sim.specs]
+    R_init = [
+        np.asarray(quat_to_rot(jnp.asarray(sp.q_init))) for sp in sim.specs
+    ]
+    motion = tray_motion(accel)
+    world.run(T, DT, motion)
+    oracle = oracle_outcomes(world, motion(T), com_nom, R_init)
+    return plant, oracle
+
+
+def assert_agree(plant, oracle, expect=None):
+    p_cls = [c for _, _, c in plant]
+    o_cls = [c for _, _, c in oracle]
+    assert p_cls == o_cls, (
+        f"plant {plant} vs oracle {oracle}: outcome classes disagree"
+    )
+    if expect is not None:
+        assert p_cls == expect, f"plant {plant}, expected {expect}"
+
+
+# -- scenarios ---------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_dice_stack_hold_stationary():
+    plant, oracle = run_both("foam_die2", [0.0, 0, 0], 2.0)
+    assert_agree(plant, oracle, expect=["held", "held"])
+
+
+@pytest.mark.slow
+def test_dice_stack_hold_below_slide_threshold():
+    # tray mu = 0.54 -> slide threshold 5.3 m/s^2; 2.0 is decisively below
+    plant, oracle = run_both("foam_die2", [2.0, 0, 0], 0.6)
+    assert_agree(plant, oracle, expect=["held", "held"])
+
+
+@pytest.mark.slow
+def test_dice_stack_tips_above_threshold():
+    # 8 m/s^2 exceeds BOTH limits of the 2-die stack: the stack-as-unit
+    # tipping threshold g * (half_width / com_height) = 9.81 * 0.0325/0.065
+    # = 4.9 m/s^2 binds before the tray-contact slide threshold mu g = 5.3,
+    # so the decisive shared outcome is tipping (both plants agreed on this
+    # against the author's initial 'slid' guess — which is the point of the
+    # cross-check)
+    plant, oracle = run_both("foam_die2", [8.0, 0, 0], 0.35)
+    assert_agree(plant, oracle, expect=["tipped", "tipped"])
+
+
+@pytest.mark.slow
+def test_arch_hold_stationary():
+    plant, oracle = run_both("box_arch", [0.0, 0, 0], 2.0)
+    assert_agree(plant, oracle, expect=["held", "held", "held"])
+
+
+@pytest.mark.slow
+def test_arch_slides_above_threshold():
+    # tray mu = 0.30 -> threshold 2.94 m/s^2; 6 is decisive.  The shared
+    # outcome (both plants) is that every block is dislodged — slid and then
+    # tumbled once support is lost; the gate is class agreement + not-held.
+    plant, oracle = run_both("box_arch", [6.0, 0, 0], 0.4)
+    plant_cls = [c for _, _, c in plant]
+    oracle_cls = [c for _, _, c in oracle]
+    assert plant_cls == oracle_cls, (plant, oracle)
+    assert all(c in ("slid", "tipped") for c in plant_cls), plant
+
+
+@pytest.mark.slow
+def test_wedge_hold_stationary():
+    # box on the 15 deg incline: tan(15 deg) = 0.268 < mu = 0.30 -> rests
+    plant, oracle = run_both("wedge", [0.0, 0, 0], 2.0)
+    assert_agree(plant, oracle, expect=["held", "held"])
+
+
+@pytest.mark.slow
+def test_wedge_slides_under_lateral_acceleration():
+    # 6 m/s^2 is 2x the wedge-tray slide threshold (mu g = 2.94)
+    plant, oracle = run_both("wedge", [6.0, 0, 0], 0.4)
+    plant_cls = [c for _, _, c in plant]
+    oracle_cls = [c for _, _, c in oracle]
+    assert plant_cls == oracle_cls, (plant, oracle)
+    assert any(c in ("slid", "tipped") for c in plant_cls), plant
