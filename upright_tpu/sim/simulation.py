@@ -34,6 +34,21 @@ from upright_tpu.core.math import quat_integrate, quat_to_rot, rot_to_quat
 from upright_tpu.kinematics.robot import RobotModel, build_robot_model
 
 
+def _rot_exp_jnp(w, dt):
+    """exp([w dt]x) via Rodrigues, safe as ||w|| -> 0 (the spurious axis is
+    multiplied by sin(theta) ~ 0)."""
+    nw = jnp.linalg.norm(w)
+    th = nw * dt
+    ax = w / jnp.maximum(nw, 1e-12)
+    K = jnp.array([
+        [0.0, -ax[2], ax[1]],
+        [ax[2], 0.0, -ax[0]],
+        [-ax[1], ax[0], 0.0],
+    ])
+    s, c = jnp.sin(th), jnp.cos(th)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
 @flax.struct.dataclass
 class ObjectsState:
     """Stacked free rigid-body states of the balanced objects.
@@ -312,12 +327,39 @@ class UprightSimulation:
                 # loop here made multi-object compiles explode)
                 dt_obj = dt / self.object_substeps
 
-                def obj_sub(objs, _):
+                # the tray frame must ADVANCE through the inner substeps:
+                # holding it frozen at time t while the objects integrate
+                # n_sub steps makes the tray pose a per-control-step
+                # STAIRCASE — at 1 m/s EE speed the surface teleports ~1 mm
+                # under the payload every outer step, which (a) ratchets the
+                # stiction anchors (the drag clamp discards the jump as
+                # slip: the dice stack slid 1.5% of every commanded
+                # acceleration and fell off after ~3 s), and (b) injects the
+                # mm-scale "tray jitter" that made the regularized model
+                # creep small stacked objects to their support edge.
+                # First-order-in-substep propagation of the frame (exact for
+                # the constant-twist robot substep) removes the sawtooth.
+                ee0 = self._parent_motion(s)
+
+                def obj_sub(objs, tau):
+                    dto = tau * dt_obj
+                    dR = _rot_exp_jnp(ee0.w, dto)
+                    ee_tau = dataclasses.replace(
+                        ee0,
+                        R=dR @ ee0.R,
+                        p=ee0.p + dto * ee0.v + 0.5 * dto * dto * ee0.a,
+                        v=ee0.v + dto * ee0.a,
+                        w=ee0.w + dto * ee0.al,
+                    )
                     s_obj = s.replace(objects=objs)
-                    return self._object_substep(s_obj, dt_obj, params), None
+                    return (
+                        self._object_substep(s_obj, dt_obj, params, ee=ee_tau),
+                        None,
+                    )
 
                 obj_new, _ = jax.lax.scan(
-                    obj_sub, s.objects, None, length=self.object_substeps
+                    obj_sub, s.objects,
+                    jnp.arange(self.object_substeps, dtype=jnp.float32),
                 )
             else:
                 obj_new = s.objects
@@ -332,8 +374,9 @@ class UprightSimulation:
         f = self.robot.chain.ee_motion(s.q, s.v, jnp.zeros_like(s.q))
         return f
 
-    def _object_substep(self, s: SimState, dt, params):
-        ee = self._parent_motion(s)
+    def _object_substep(self, s: SimState, dt, params, ee=None):
+        if ee is None:
+            ee = self._parent_motion(s)
 
         r, q, v, w = s.objects.r, s.objects.q, s.objects.v, s.objects.w
 
@@ -471,9 +514,27 @@ class UprightSimulation:
                         in_contact[:, None], F_t, 0.0
                     )
                     # anchor drag: keep the spring displacement inside the
-                    # cone so released contacts do not fling
+                    # cone so released contacts do not fling.  The clamp
+                    # radius uses the SPRING-ONLY normal force mu*k*delta —
+                    # NOT the instantaneous F_max, whose damping term
+                    # (-c v_n) oscillates with the penalty normal dynamics:
+                    # every dip used to shrink the radius and drag the
+                    # anchor, ratcheting the payload ~1.5% of the tray
+                    # acceleration (the stacked dice slid 6 cm over a 2 s
+                    # transient and fell; with the smooth radius they track
+                    # to < 1 mm).  Root cause of the r4 sweep's
+                    # robust_dice/full_dice stiction failures.
+                    # The radius also carries an ABSOLUTE floor: the applied
+                    # force is cone-clamped by `scale` regardless of stored
+                    # stretch, so a loose radius is safe — and a tight one
+                    # is not representable in f32 once the world coordinates
+                    # grow (at |r| ~ 4 m the ~5e-7 m position quantization
+                    # rivals mu*delta ~ 1e-6 and noise-ratchets the anchor;
+                    # the 0.1 mm floor absorbs it with 200x margin).
                     d_norm = jnp.linalg.norm(d_t, axis=1)
-                    d_max = F_max / k_i
+                    d_max = jnp.maximum(
+                        params["mu"][i] * jnp.maximum(delta, 0.0), 1e-4
+                    )
                     d_new = d_t * jnp.minimum(
                         1.0, d_max / jnp.maximum(d_norm, 1e-12)
                     )[:, None]
