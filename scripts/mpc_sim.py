@@ -24,13 +24,25 @@ from upright_tpu.sim.simulation import UprightSimulation
 from upright_tpu.solver.mpc import ControllerManager
 
 
-def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=False):
-    """Run the closed loop; returns (sim, state, controller, logger)."""
+def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=False,
+                    seed=None):
+    """Run the closed loop; returns (sim, state, controller, logger).
+
+    ``seed`` enables the configured measurement/process noise
+    (simulation.robot.noise, reference sim/robot.py:123-167): each control
+    cycle draws fresh keys for sim.measure and sim.step.  With seed=None
+    (default) the loop is deterministic and noise-free regardless of
+    config, matching the reference's noise-off default."""
     from upright_tpu.runtime.projectile import ProjectileTracker
     from upright_tpu.sim.obstacles import build_dynamic_obstacles
 
     sim_conf = config["simulation"]
     sim = UprightSimulation(sim_conf)
+    rng_key = None
+    if seed is not None:
+        import jax
+
+        rng_key = jax.random.PRNGKey(int(seed))
     ctrl = ControllerManager.from_config(config)
 
     duration = float(duration or sim_conf.get("duration", 5.0))
@@ -64,7 +76,12 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
     t = 0.0
     steps = int(round(duration / dt_ctrl))
     for i in range(steps):
-        q_meas, v_meas = sim.measure(state)
+        k_meas = k_proc = None
+        if rng_key is not None:
+            import jax
+
+            rng_key, k_meas, k_proc = jax.random.split(rng_key, 3)
+        q_meas, v_meas = sim.measure(state, rng_key=k_meas)
         x = np.concatenate([np.asarray(q_meas), np.asarray(v_meas), a_state])
 
         # feed obstacle estimates into the controller state tail + the
@@ -97,7 +114,7 @@ def run_closed_loop(config, duration=None, ctrl_rate=125.0, log=None, verbose=Fa
         v_cmd = np.asarray(v_meas) + dt_ctrl * a_state + 0.5 * dt_ctrl**2 * u_cmd
         a_state = a_state + dt_ctrl * u_cmd
 
-        state = sim.step(state, v_cmd, n_steps=n_sub)
+        state = sim.step(state, v_cmd, n_steps=n_sub, rng_key=k_proc)
         t += dt_ctrl
         for obs in dyn_obstacles:
             obs.step(t)  # advance controlled-obstacle velocity servos

@@ -106,6 +106,18 @@ def main():
     )
     args = ap.parse_args()
 
+    def _git_hash():
+        import subprocess
+
+        try:
+            return subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=Path(__file__).resolve().parents[1],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:
+            return "unknown"
+
     h = args.height / 100.0
     com_box = [[COM_XY, COM_XY, h / 2]]
     study = {
@@ -139,6 +151,18 @@ def main():
             flush=True,
         )
 
+    # provenance stamp (VERDICT r4 item 10): a stale artifact — generated by
+    # an older script/plant revision than the committed tree — is detectable
+    # from the JSON itself
+    study["_provenance"] = {
+        "script": "scripts/ral25_study.py",
+        "git_hash": _git_hash(),
+        "matmul_precision": "float64 (planning) / plant default",
+        "friction_model": "per-config default",
+        "verify": bool(args.verify),
+        "verify_realizable": bool(args.verify_realizable),
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
     with open(args.out, "w") as f:
         json.dump(study, f, indent=2)
     print(f"saved {args.out}")
@@ -163,9 +187,11 @@ def main():
         lines.append(
             f"| {variant} | {out['failures']} / {out['runs']} | {max_disp:.3f} |"
         )
+    prov = study["_provenance"]
     lines += [
         "",
         f"Per-waypoint detail lives in `{Path(args.out).name}`.",
+        f"Generated at git `{prov['git_hash']}`, {prov['generated_utc']}.",
         "",
     ]
     md.write_text("\n".join(lines))

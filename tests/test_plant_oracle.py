@@ -213,3 +213,30 @@ def test_wedge_slides_under_lateral_acceleration():
     oracle_cls = [c for _, _, c in oracle]
     assert plant_cls == oracle_cls, (plant, oracle)
     assert any(c in ("slid", "tipped") for c in plant_cls), plant
+
+
+@pytest.mark.slow
+def test_long_quasistatic_hold():
+    """30 s stationary stacked-dice hold under stiction (VERDICT r4 item 9).
+
+    Guards two root-caused plant bug classes against silent regression:
+      - the resting-contact damping instability (r4, d5d90c7): the stacked
+        dice's stiffest coupled mode pumped energy during QUIESCENCE and
+        spun the top die off after ~4.5 s — well past any short test;
+      - anchor-drag ratcheting (r5): sub-resolution anchor radii turned
+        numerical jitter into secular creep over tens of seconds.
+
+    The reference's hardware experiments hold objects stationary for the
+    full run duration (upright_cmd/config/ral23/experiments/freespace/full/);
+    true static friction must hold a quiescent stack indefinitely, so the
+    gate is mm-scale after 30 s, not outcome-class-scale."""
+    sim = make_sim("foam_die2", friction_model="stiction")
+    prescribe(sim, [0.0, 0, 0])
+    s0 = plant_state(sim)
+    n = int(round(30.0 / DT))
+    s1 = sim.step(s0, jnp.zeros(sim.robot.nq), n_steps=n)
+    out = plant_outcomes(sim, s1, [0.0, 0, 0], 30.0)
+    disps = [d for d, _, _ in out]
+    tilts = [t for _, t, _ in out]
+    assert max(disps) < 2e-3, f"stacked dice crept over 30 s: {out}"
+    assert max(tilts) < np.radians(2.0), f"stacked dice tilted: {out}"
