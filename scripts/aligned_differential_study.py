@@ -169,8 +169,8 @@ def main():
         mx = r["max_disp_m"]
         lines.append(
             f"| {r['v_std_rad_s']:.3f} | {r['variant']} "
-            f"| {med if np.isfinite(med) else 'inf'} "
-            f"| {mx if np.isfinite(mx) else 'inf'} |"
+            f"| {f'{med:.4f}' if np.isfinite(med) else 'inf'} "
+            f"| {f'{mx:.4f}' if np.isfinite(mx) else 'inf'} |"
         )
     lines.append("")
     md.write_text("\n".join(lines))

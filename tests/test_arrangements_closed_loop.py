@@ -83,13 +83,13 @@ def test_closed_loop_wedge():
     arrangement's mu_margin (0.1683, matching the reference) leaves exactly
     the minimum feasible friction, which requires the controller to tilt
     the tray ~7.5 deg — the RAL23 wedge experiment's point.  The sim's true
-    mu = 0.3 gives margin over the controller's marginal model, but
-    regularized friction creeps at this near-critical slope, so the
-    displacement tolerance is looser."""
+    mu = 0.3 gives margin over the controller's marginal model; under the
+    stiction default (r5) static friction holds the near-critical slope
+    without the regularized model's creep, so the gate is the standard
+    0.03 m."""
     _run(
         _ur10_with_arrangement("wedge", waypoint=(-0.15, -0.3, 0.15),
                                frictionless=False),
-        disp_tol=0.06,
     )
 
 
@@ -113,14 +113,16 @@ def test_freespace_ablation_differential(leaf, min_disp):
     experiment matrix demonstrates (ral23/experiments/freespace/{full,
     robust,aligned,none,upward}).
 
-    aligned (the inertial-alignment heuristic) HOLDS the dice in this sim
-    (measured 1-2 mm at the production 100 Hz cadence): pointing the tray
-    normal along total acceleration drives the required friction to ~zero,
-    and the residual angular-acceleration effects are within the foam dice's
-    friction budget here.  The reference's aligned-drops-the-dice result is
-    a hardware-scale contrast (vibration, tracking error, tray compliance —
-    none modeled by this plant), exactly as with the aligned_failure stack
-    below; the test pins the leaf green end-to-end with mm displacement."""
+    aligned (the inertial-alignment heuristic) HOLDS the dice in this
+    noise-free f64 run (measured 1-2 mm at the production 100 Hz cadence):
+    pointing the tray normal along total acceleration drives the required
+    friction to ~zero.  But it does so with ZERO margin — under micro-scale
+    disturbance (>= 0.001 rad/s commanded-velocity noise, or the bf16-level
+    stage-math noise of a TPU run at the "high" matmul default) the same
+    leaf DROPS the top die while the balancing controllers hold it: that is
+    the reference's hardware ablation result, reproduced in-sim by
+    test_aligned_differential_under_noise below and recorded in
+    docs/aligned_differential.md."""
     config = copy.deepcopy(
         cfg.load_config(f"configs/ral23/freespace/{leaf}.yaml")
     )
@@ -135,6 +137,27 @@ def test_freespace_ablation_differential(leaf, min_disp):
         assert (disp < 0.03).all(), f"controller slid objects: {disp}"
     else:
         assert disp.max() > min_disp, f"ablated baseline unexpectedly held: {disp}"
+
+
+@pytest.mark.slow
+def test_aligned_differential_under_noise():
+    """The RA-L'23 aligned-ablation differential restored in-sim (VERDICT
+    r4 item 5, ADVICE r4 item 5): at 0.002 rad/s commanded-velocity
+    (process) noise — hardware-scale tracking error — the full balancing
+    controller carries the stacked dice with mm displacement while the
+    alignment heuristic, which plans at zero friction margin, loses the
+    top die entirely.  The gate is the RELATIVE ordering with a wide
+    margin (not an absolute pin that tracks plant retuning): aligned must
+    displace >= 10x full and beyond the half-tray failure threshold.
+    Recorded level sweep: docs/aligned_differential.md."""
+    import aligned_differential_study as study
+
+    full = study.run_leaf("full", 0.002, seed=0, knob="process")
+    aligned = study.run_leaf("aligned", 0.002, seed=0, knob="process")
+    assert full < 0.03, f"full balancing lost the dice under noise: {full}"
+    assert aligned > max(0.07, 10.0 * full), (
+        f"aligned ablation unexpectedly held: {aligned} (full {full})"
+    )
 
 
 @pytest.mark.slow
@@ -197,12 +220,11 @@ def test_unreachable_target_with_error_clamp():
         config, duration=5.0, ctrl_rate=100.0
     )
     disp = float(sim.object_displacements(state)[0])
-    # regularized friction creeps mm/s under the sustained near-cone pull
-    # of the clamped unreachable target; the finer contact integration
-    # (r4: sqrt(n_contacts) substep factor) resolves ~2.8 cm of it over
-    # 5 s where the coarser integrator under-reported 0.5 cm.  The gate is
-    # the contrast with the clampless ~87 m throw, not mm precision.
-    assert disp < 0.05, disp
+    # under the stiction default (r5) the sustained near-cone pull of the
+    # clamped unreachable target is held by static friction — the r4 gate
+    # widening (0.02 -> 0.05 m, absorbing regularized creep) is reverted
+    # and tightened: the payload must genuinely stay put
+    assert disp < 0.02, disp
     # the arm actually moved toward the target (not frozen by the clamp)
     _, r_ew = sim.ee_pose(state)
     d0 = np.asarray(logger.as_arrays()["r_ew_w"][0])

@@ -806,8 +806,23 @@ def build_problem(config: dict, N: Optional[int] = None) -> UprightProblem:
     if jac_mode not in ("fwd", "rev"):
         raise ValueError(f"sqp.jac_mode must be auto|fwd|rev, got {jac_mode!r}")
 
+    # Solver precision floor, conditioned on the problem data (see
+    # OCP.precision_floor): arrangements with light objects get the f32
+    # floor on the solver's stage-Jacobian / Riccati / merit phases — at
+    # "high" (3-pass bf16) the rounding noise on the 1/m-scaled constraint
+    # stack ratchets the 0.02 kg stacked dice off the tray and winds up
+    # the 0.18 kg frictionless arch + obstacle-course duals (eq_viol 24.5)
+    # over a closed-loop run (measured on v5e, round 5), while every
+    # >= 0.2 kg arrangement (cups 0.2, bottle 0.83, ral25 box 1.0) holds
+    # at "high" with full MXU throughput.  A uniform automatic rule, not
+    # per-leaf tuning (tests/test_default_solver_config.py).
+    precision_floor = "high"
+    if model.params.shape[0] and float(np.asarray(model.params[:, 0]).min()) < 0.2:
+        precision_floor = "highest"
+
     ocp = OCP(
         N=N, nx=dims.x, nu=dims.u, n_eq=n_eq, n_ineq=n_ineq, n_feq=n_feq,
+        precision_floor=precision_floor,
         dynamics=dynamics, stage_cost=stage_cost, eq=eq, ineq=ineq,
         final_cost=final_cost, final_eq=final_eq,
         stage_residuals=stage_residuals, stage_quad=stage_quad,

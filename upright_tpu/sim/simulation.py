@@ -215,7 +215,20 @@ class UprightSimulation:
         else:
             self.object_substeps = 1
 
-        self._step = jax.jit(self._step_impl, static_argnums=(2,))
+        # The plant is the experiments' ground truth: pin its (tiny 3x3 /
+        # chain-FK) matmuls to f32 regardless of the ambient setting.  At
+        # the ambient TPU default ("high", 3-pass bf16) the per-step FK
+        # rounding noise acts as a micrometre-scale tray jitter that the
+        # stiction anchor drag rectifies into secular creep — the 0.02 kg
+        # stacked dice walked off the tray over a 4 s closed-loop run on
+        # the v5e while holding on (f64) CPU and at "highest".  The plant's
+        # matmuls are a negligible share of device time (the solver
+        # dominates), so this costs nothing measurable.
+        def _step_pinned(state, cmd, n_steps, params):
+            with jax.default_matmul_precision("highest"):
+                return self._step_impl(state, cmd, n_steps, params)
+
+        self._step = jax.jit(_step_pinned, static_argnums=(2,))
 
     # -- runtime inertial parameters (the robust-sweep axis) -------------
 

@@ -22,6 +22,7 @@ All functions are pure; `solve` jits and vmaps cleanly.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -44,6 +45,12 @@ def _floor_precision(minimum: str = "high") -> str:
     ):
         return "highest"
     return minimum
+
+
+# Optional A/B override for the stage-derivative (constraint-Jacobian)
+# precision floor; unset (the default) follows ocp.precision_floor like the
+# backward/merit phases.  See the pin at the _stage_derivatives call site.
+_JAC_PRECISION_OVERRIDE = os.environ.get("UPRIGHT_TPU_JAC_PRECISION")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -581,11 +588,25 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         f_next = jax.vmap(lambda x, u, p: ocp.dynamics(x, u, p))(X[:-1], U, p_stage)
         d = f_next - X[1:]
 
-        # AL stage derivatives
-        grads, hess = jax.vmap(
-            lambda x, u, p, l, m: _stage_derivatives(ocp, cfg, x, u, p, l, m)
-        )(X[:-1], U, p_stage, lam, mu)
-        gf, Hf = _final_derivatives(ocp, cfg, X[-1], p_final, lam_f)
+        # AL stage derivatives.  Floored at ocp.precision_floor like the
+        # backward/merit phases: the constraint Jacobians are where
+        # 3-pass-bf16 noise is AMPLIFIED before it reaches the backward
+        # pass — mass-normalized Newton-Euler rows scale as 1/m, and the
+        # closed loop integrates the resulting dual noise into a ratchet.
+        # Measured on the v5e (round 5): at "high" the light-mass leaves
+        # (0.02 kg dice; 0.18 kg frictionless arch + obstacles, eq_viol
+        # 24.5) fall/blow up, at "highest" all hold, and flooring them by
+        # the mass-conditioned rule keeps the >= 0.2 kg workloads (bench
+        # bottle 0.83 kg) at full MXU throughput (docs/performance.md
+        # "Matmul precision").  UPRIGHT_TPU_JAC_PRECISION overrides for
+        # A/B.
+        with jax.default_matmul_precision(
+            _floor_precision(_JAC_PRECISION_OVERRIDE or ocp.precision_floor)
+        ):
+            grads, hess = jax.vmap(
+                lambda x, u, p, l, m: _stage_derivatives(ocp, cfg, x, u, p, l, m)
+            )(X[:-1], U, p_stage, lam, mu)
+            gf, Hf = _final_derivatives(ocp, cfg, X[-1], p_final, lam_f)
 
         # Riccati (backward pass implementation selected by cfg.backward).
         # Pinned to >= "high" matmul precision AS A FLOOR over the ambient
@@ -594,7 +615,9 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         # degrade weakly-conditioned Quu (e.g. the ral23 ablations' ~1e-3 I)
         # until the line search rejects every step (docs/performance.md
         # "Matmul precision").
-        with jax.default_matmul_precision(_floor_precision()):
+        with jax.default_matmul_precision(
+            _floor_precision(ocp.precision_floor)
+        ):
             if cfg.backward == "pscan":
                 from upright_tpu.solver.pscan import parallel_backward_pass
 
@@ -636,7 +659,9 @@ def solve(ocp: OCP, cfg: ALConfig, params, x0, state: SolverState) -> Solution:
         # 4e-4), while the stage Jacobian tolerates bf16 (GN direction
         # noise the line search absorbs).  See docs/performance.md
         # "Matmul precision".
-        with jax.default_matmul_precision(_floor_precision()):
+        with jax.default_matmul_precision(
+            _floor_precision(ocp.precision_floor)
+        ):
             merits, Xs, Us, terms_a = jax.vmap(try_alpha)(alphas)
             merit0, terms0 = _merit_terms(
                 ocp, cfg, X, U, p_stage, p_final, lam, mu, lam_f

@@ -67,6 +67,18 @@ class OCP:
     # triple-integrator + constant-acceleration-obstacle system)
     linear_dynamics: bool = False
 
+    # Matmul-precision floor for the solver's precision-critical phases
+    # (stage Jacobians + Riccati recursion + line-search merits).  "high"
+    # (3-pass bf16) suffices for the nominal mass range; build_problem
+    # raises it to "highest" (f32) automatically when the arrangement
+    # contains light objects (min mass < 0.2 kg) — a uniform conditioning
+    # rule, not per-leaf tuning: the mass-normalized constraint stack
+    # scales as 1/m, and the closed loop integrates the extra bf16
+    # rounding noise into a dual/anchor ratchet (drops the 0.02 kg dice,
+    # winds up the 0.18 kg frictionless arch; measured on v5e,
+    # docs/performance.md "Matmul precision").
+    precision_floor: str = "high"
+
     # Optional analytic split of the inequality stack.  Many rows of ``ineq``
     # are simple box constraints (state/input limits) whose Jacobians are
     # constant +/-identity selections; tracing them through the stacked
