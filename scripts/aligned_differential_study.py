@@ -131,6 +131,7 @@ def main():
             "script": "scripts/aligned_differential_study.py",
             "noise_knob": args.knob,
             "dtype": "float32 (production precision; under f64 both controllers hold through 0.008 rad/s — scoped r5)",
+            "matmul_precision": "n/a (CPU run; dtype governs)",
             "git_hash": _git_hash(),
             "duration_s": args.duration,
             "ctrl_rate_hz": 100.0,

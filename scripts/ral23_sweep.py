@@ -269,6 +269,17 @@ def main():
         "  that the balancing controllers hold — the reference's hardware",
         "  ablation result (arXiv 2305.17484).  In a noise-free f64 run",
         "  the same leaf holds.",
+        "- `*_arm_only` leaves pull permanently against a waypoint 2.9 m",
+        "  from the fixed UR10's base (~1.3 m reach; the reference uses",
+        "  the same geometry, so its arm cannot reach it either) — the",
+        "  ee_error_clamp bounds the pull and the arm orbits its",
+        "  workspace envelope for the whole run.  The frictionless-model",
+        "  `robust_arch` variant is the minimum-margin case of this",
+        "  regime: the controller cannot reserve lateral friction for",
+        "  the arch while sloshing near the extension singularity, and",
+        "  the outcome (hold at ~2 mm vs one pillar tipping) flips with",
+        "  the numeric environment — recorded regenerations show both.",
+        "  Every reachable-waypoint arch leaf holds at sub-mm.",
         "- under the REGULARIZED friction model (the recorded sensitivity,",
         "  `ral23_results_regularized.md`), leaves that demand sustained",
         "  force at the friction-cone boundary (`full_arch_*`) or a",

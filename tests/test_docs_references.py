@@ -53,7 +53,13 @@ def test_every_referenced_doc_exists():
 
 
 def test_recorded_sweeps_carry_provenance():
-    stamped = ["ral23_results.json", "ral23_results_stiction.json"]
+    stamped = [
+        "ral23_results.json",
+        "ral23_results_stiction.json",
+        "ral23_results_regularized.json",
+        "aligned_differential.json",
+        "ral25_results_h20.json",
+    ]
     for name in stamped:
         path = REPO / "docs" / name
         assert path.exists(), f"recorded sweep artifact missing: {name}"
