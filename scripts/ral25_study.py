@@ -90,14 +90,15 @@ def main():
     ap.add_argument("--iterations", type=int, default=60)
     ap.add_argument("--kp", type=float, default=10.0)
     ap.add_argument(
-        "--out",
-        default=str(Path(__file__).resolve().parents[1] / "docs" / "ral25_results.json"),
+        "--out", default=None,
+        help="output JSON (default docs/ral25_results_h<height>.json)",
     )
     ap.add_argument(
         "--verify", action="store_true",
         help="post-hoc worst-case CWC certification of every offline plan "
              "over the inertial ambiguity set (the reference's "
-             "process_sim_runs.py step); writes docs/ral25_verification.md",
+             "process_sim_runs.py step); writes the verification table "
+             "next to the results JSON",
     )
     ap.add_argument(
         "--verify-realizable", action="store_true",
